@@ -1,0 +1,224 @@
+"""Deep typed-graph GNN (reference: graphcast/deep_typed_graph_net.py:53-461).
+
+Encoder (per-type MLP+LayerNorm embed) → N unshared InteractionNetwork steps
+× M shared repetitions, with node+edge residuals → per-type decoder MLPs.
+
+Functional: ``init(key, graph_template) -> params``;
+``apply(params, graph, global_norm_conditioning=None) -> TypedGraph``.
+
+Param names follow the reference's Haiku module naming scheme
+(encoder_*/processor_{i}_*/decoder_*) to keep a straightforward mapping for
+checkpoint conversion.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Mapping, Optional
+
+import jax
+import jax.numpy as jnp
+
+from graphcast_tpu.nn import core
+from graphcast_tpu.nn import message_passing as mp
+from graphcast_tpu.nn.typed_graph import TypedGraph
+from graphcast_tpu.ops import segment
+
+
+@dataclasses.dataclass
+class DeepGraphNet:
+  """Config for the deep typed-graph network.
+
+  Attributes mirror the reference's DeepTypedGraphNet
+  (deep_typed_graph_net.py:105-180); see there for semantics.
+  """
+  node_latent_size: Mapping[str, int]
+  edge_latent_size: Mapping[str, int]
+  mlp_hidden_size: int
+  mlp_num_hidden_layers: int
+  num_message_passing_steps: int
+  num_processor_repetitions: int = 1
+  embed_nodes: bool = True
+  embed_edges: bool = True
+  node_output_size: Optional[Mapping[str, int]] = None
+  edge_output_size: Optional[Mapping[str, int]] = None
+  include_sent_messages_in_node_update: bool = False
+  use_layer_norm: bool = True
+  use_norm_conditioning: bool = False
+  norm_conditioning_size: Optional[int] = None
+  activation: str = "relu"
+  f32_aggregation: bool = False
+  aggregate_normalization: Optional[float] = None
+
+  # ----- spec construction (all static) -----
+
+  def _mlp_with_norm(self, in_size: int, out_size: int) -> core.MLPWithNorm:
+    return core.MLPWithNorm(
+        in_size=in_size,
+        hidden_size=self.mlp_hidden_size,
+        num_hidden_layers=self.mlp_num_hidden_layers,
+        out_size=out_size,
+        activation=self.activation,
+        use_layer_norm=self.use_layer_norm,
+        use_norm_conditioning=self.use_norm_conditioning,
+        norm_conditioning_size=self.norm_conditioning_size)
+
+  def _plain_mlp(self, in_size: int, out_size: int) -> core.MLPWithNorm:
+    # Decoder MLPs have no layer norm (reference:
+    # deep_typed_graph_net.py:316-321 uses build_mlp for the decoder).
+    return core.MLPWithNorm(
+        in_size=in_size,
+        hidden_size=self.mlp_hidden_size,
+        num_hidden_layers=self.mlp_num_hidden_layers,
+        out_size=out_size,
+        activation=self.activation,
+        use_layer_norm=False,
+        use_norm_conditioning=False)
+
+  def _specs(self, graph: TypedGraph) -> dict[str, core.MLPWithNorm]:
+    """Builds {param_name: MLPWithNorm} from the (static) graph shapes."""
+    node_in = {name: ns.features.shape[-1] for name, ns in graph.nodes.items()}
+    edge_in = {key.name: es.features.shape[-1]
+               for key, es in graph.edges.items()}
+    context_size = 0
+    if isinstance(graph.context.features, (jnp.ndarray,)) or (
+        hasattr(graph.context.features, "shape")):
+      context_size = graph.context.features.shape[-1]
+
+    sender_of = {k.name: k.node_sets[0] for k in graph.edges}
+    receiver_of = {k.name: k.node_sets[1] for k in graph.edges}
+    edge_order = [k.name for k in graph.edges]
+
+    specs: dict[str, core.MLPWithNorm] = {}
+
+    # Encoder.
+    if self.embed_edges:
+      for name, latent in self.edge_latent_size.items():
+        specs[f"encoder_edges_{name}"] = self._mlp_with_norm(
+            edge_in[name], latent)
+    if self.embed_nodes:
+      for name, latent in self.node_latent_size.items():
+        specs[f"encoder_nodes_{name}"] = self._mlp_with_norm(
+            node_in[name] + context_size, latent)
+
+    def node_latent(name):
+      if name in self.node_latent_size:
+        return self.node_latent_size[name]
+      # Not embedded: latent size is whatever came in.
+      return node_in[name]
+
+    # Processor steps.
+    for i in range(self.num_message_passing_steps):
+      for name, latent in self.edge_latent_size.items():
+        in_size = (latent + node_latent(sender_of[name])
+                   + node_latent(receiver_of[name]))
+        specs[f"processor_{i}_edges_{name}"] = self._mlp_with_norm(
+            in_size, latent)
+      for name, latent in self.node_latent_size.items():
+        in_size = latent
+        if self.include_sent_messages_in_node_update:
+          in_size += sum(self.edge_latent_size[e] for e in edge_order
+                         if sender_of[e] == name)
+        in_size += sum(self.edge_latent_size[e] for e in edge_order
+                       if receiver_of[e] == name)
+        specs[f"processor_{i}_nodes_{name}"] = self._mlp_with_norm(
+            in_size, latent)
+
+    # Decoder.
+    if self.edge_output_size:
+      for name, out in self.edge_output_size.items():
+        specs[f"decoder_edges_{name}"] = self._plain_mlp(
+            self.edge_latent_size[name], out)
+    if self.node_output_size:
+      for name, out in self.node_output_size.items():
+        specs[f"decoder_nodes_{name}"] = self._plain_mlp(
+            self.node_latent_size[name], out)
+    return specs
+
+  # ----- init / apply -----
+
+  def init(self, key, graph_template: TypedGraph) -> core.Params:
+    specs = self._specs(graph_template)
+    keys = jax.random.split(key, len(specs))
+    return {name: spec.init(k)
+            for (name, spec), k in zip(sorted(specs.items()), keys)}
+
+  def apply(self, params: core.Params, graph: TypedGraph,
+            global_norm_conditioning=None) -> TypedGraph:
+    if self.use_norm_conditioning and global_norm_conditioning is None:
+      raise ValueError("global_norm_conditioning required")
+    if not self.use_norm_conditioning and global_norm_conditioning is not None:
+      raise ValueError("global_norm_conditioning passed but not enabled")
+    specs = self._specs(graph)
+
+    gnc = global_norm_conditioning
+    if gnc is not None and gnc.ndim == 2:
+      # [batch, cond] -> broadcast over the node/edge axis.
+      gnc = gnc[None]
+
+    def fn(name):
+      spec = specs[name]
+      p = params[name]
+      if spec.use_norm_conditioning:  # decoder MLPs are plain, skip there
+        return lambda *xs: spec.apply(p, *xs, global_norm_conditioning=gnc)
+      return lambda *xs: spec.apply(p, *xs)
+
+    # 1. Broadcast-concat context features onto every node set, if present
+    # (reference: deep_typed_graph_net.py:333-350).
+    context = graph.context.features
+    if hasattr(context, "shape") and context.size:
+      new_nodes = {}
+      for name, node_set in graph.nodes.items():
+        feats = node_set.features
+        ctx = jnp.broadcast_to(context[None],
+                               feats.shape[:-1] + context.shape[-1:])
+        new_nodes[name] = node_set._replace(
+            features=jnp.concatenate([feats, ctx.astype(feats.dtype)], axis=-1))
+      graph = graph._replace(
+          nodes=new_nodes, context=graph.context._replace(features=()))
+
+    # 2. Embed.
+    graph = mp.apply_graph_map_features(
+        graph,
+        embed_edge_fn={n: fn(f"encoder_edges_{n}")
+                       for n in self.edge_latent_size} if self.embed_edges
+        else None,
+        embed_node_fn={n: fn(f"encoder_nodes_{n}")
+                       for n in self.node_latent_size} if self.embed_nodes
+        else None)
+
+    # 3. Process with residuals (reference: deep_typed_graph_net.py:373-394).
+    def aggregate(data, receivers, num_nodes):
+      return segment.aggregate_edges_for_nodes(
+          data, receivers, num_nodes,
+          f32_aggregation=self.f32_aggregation,
+          normalization=self.aggregate_normalization)
+
+    for _ in range(self.num_processor_repetitions):
+      for i in range(self.num_message_passing_steps):
+        prev = graph
+        graph = mp.apply_graph_network(
+            graph,
+            update_edge_fn={n: fn(f"processor_{i}_edges_{n}")
+                            for n in self.edge_latent_size},
+            update_node_fn={n: fn(f"processor_{i}_nodes_{n}")
+                            for n in self.node_latent_size},
+            aggregate_edges_for_nodes_fn=aggregate,
+            include_sent_messages_in_node_update=(
+                self.include_sent_messages_in_node_update))
+        graph = graph._replace(
+            nodes={k: ns._replace(
+                features=prev.nodes[k].features + ns.features)
+                   for k, ns in graph.nodes.items()},
+            edges={k: es._replace(
+                features=prev.edges[k].features + es.features)
+                   for k, es in graph.edges.items()})
+
+    # 4. Decode.
+    graph = mp.apply_graph_map_features(
+        graph,
+        embed_edge_fn={n: fn(f"decoder_edges_{n}")
+                       for n in (self.edge_output_size or {})} or None,
+        embed_node_fn={n: fn(f"decoder_nodes_{n}")
+                       for n in (self.node_output_size or {})} or None)
+    return graph

@@ -1,0 +1,12 @@
+"""Test config: run on CPU with 8 virtual devices for sharding tests."""
+
+import os
+
+# Must happen before jax initializes its backends.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+  os.environ["XLA_FLAGS"] = (
+      flags + " --xla_force_host_platform_device_count=8").strip()
+# Keep geometry artifact caching out of test runs.
+os.environ.setdefault("GRAPHCAST_TPU_CACHE", "")
