@@ -1,0 +1,256 @@
+"""GraphCast: deterministic encode-process-decode GNN predictor.
+
+Native re-implementation of the reference model (graphcast.py:213-796),
+TPU-first: the three graphs (grid2mesh / multi-mesh / mesh2grid) are compiled
+once by the geometry compiler (graphcast_tpu/geometry/artifact.py) into
+static, receiver-sorted edge lists and structural features that live in HBM
+as constants of the jitted step; all per-step compute is three DeepGraphNet
+applications over [nodes, batch, channels] arrays.
+
+Stages (reference call stack: graphcast.py:357-388):
+  1. FieldSets → grid node features [num_grid_nodes, batch, C]
+  2. grid2mesh GNN (1 step, f32 aggregation): grid + mesh latents
+  3. multi-mesh GNN (gnn_msg_steps steps): updated mesh latents
+  4. mesh2grid GNN (1 step): per-grid-node outputs
+  5. outputs → FieldSet via the targets template
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from graphcast_tpu import losses
+from graphcast_tpu.fields import FieldSet, from_stacked, to_stacked
+from graphcast_tpu.geometry import artifact as artifact_lib
+from graphcast_tpu.models import configs
+from graphcast_tpu.models.base import Predictor
+from graphcast_tpu.nn.deep_gnn import DeepGraphNet
+from graphcast_tpu.nn.typed_graph import (
+    Context, EdgeSet, EdgeSetKey, EdgesIndices, NodeSet, TypedGraph)
+
+
+def _add_batch_second_axis(data, batch_size):
+  """[n, f] → [n, batch, f] (reference: graphcast.py:785-789)."""
+  return jnp.broadcast_to(data[:, None, :],
+                          (data.shape[0], batch_size, data.shape[-1]))
+
+
+class GraphCast(Predictor):
+  """The GraphCast one-step predictor."""
+
+  def __init__(self, model_config: configs.ModelConfig,
+               task_config: configs.TaskConfig,
+               cache_dir: Optional[str] = None):
+    self._mc = model_config
+    self._tc = task_config
+    self._cache_dir = cache_dir
+    self._artifact: Optional[artifact_lib.GridMeshArtifact] = None
+
+    latent = model_config.latent_size
+    num_outputs = configs.num_output_channels(task_config)
+
+    # Encoder: one message-passing step, f32 aggregation, swish
+    # (reference: graphcast.py:261-277).
+    self._grid2mesh_gnn = DeepGraphNet(
+        node_latent_size={"mesh_nodes": latent, "grid_nodes": latent},
+        edge_latent_size={"grid2mesh": latent},
+        mlp_hidden_size=latent,
+        mlp_num_hidden_layers=model_config.hidden_layers,
+        num_message_passing_steps=1,
+        use_layer_norm=True,
+        activation="swish",
+        f32_aggregation=True)
+
+    # Processor over the multi-mesh (reference: graphcast.py:280-293).
+    self._mesh_gnn = DeepGraphNet(
+        embed_nodes=False,
+        node_latent_size={"mesh_nodes": latent},
+        edge_latent_size={"mesh": latent},
+        mlp_hidden_size=latent,
+        mlp_num_hidden_layers=model_config.hidden_layers,
+        num_message_passing_steps=model_config.gnn_msg_steps,
+        use_layer_norm=True,
+        activation="swish",
+        f32_aggregation=False)
+
+    # Decoder (reference: graphcast.py:304-321).
+    self._mesh2grid_gnn = DeepGraphNet(
+        node_output_size={"grid_nodes": num_outputs},
+        embed_nodes=False,
+        node_latent_size={"mesh_nodes": latent, "grid_nodes": latent},
+        edge_latent_size={"mesh2grid": latent},
+        mlp_hidden_size=latent,
+        mlp_num_hidden_layers=model_config.hidden_layers,
+        num_message_passing_steps=1,
+        use_layer_norm=True,
+        activation="swish",
+        f32_aggregation=False)
+
+  # ----- static graph assembly -----
+
+  def _maybe_init(self, inputs: FieldSet):
+    if self._artifact is not None:
+      return
+    coords = inputs.coords
+    self._artifact = artifact_lib.build_artifact(
+        grid_lat=coords["lat"],
+        grid_lon=coords["lon"],
+        mesh_size=self._mc.mesh_size,
+        radius_query_fraction_edge_length=(
+            self._mc.radius_query_fraction_edge_length),
+        mesh2grid_edge_normalization_factor=(
+            self._mc.mesh2grid_edge_normalization_factor),
+        multimesh=True,
+        cache_dir=self._cache_dir)
+
+  def _grid2mesh_graph(self, grid_node_features) -> TypedGraph:
+    """Assembles the grid2mesh TypedGraph; grid nodes carry
+    [input features ++ structural], mesh nodes [zeros ++ structural]
+    (reference: graphcast.py:609-663)."""
+    art = self._artifact
+    batch = grid_node_features.shape[1]
+    dtype = grid_node_features.dtype
+    grid_struct = _add_batch_second_axis(
+        jnp.asarray(art.grid_node_features, dtype), batch)
+    mesh_struct = _add_batch_second_axis(
+        jnp.asarray(art.mesh_node_features, dtype), batch)
+    dummy_mesh_feats = jnp.zeros(
+        (art.num_mesh_nodes,) + grid_node_features.shape[1:], dtype)
+    grid_feats = jnp.concatenate([grid_node_features, grid_struct], axis=-1)
+    mesh_feats = jnp.concatenate([dummy_mesh_feats, mesh_struct], axis=-1)
+    edge_feats = _add_batch_second_axis(
+        jnp.asarray(art.grid2mesh.features, dtype), batch)
+    return TypedGraph(
+        context=Context(features=()),
+        nodes={
+            "grid_nodes": NodeSet(art.num_grid_nodes, grid_feats),
+            "mesh_nodes": NodeSet(art.num_mesh_nodes, mesh_feats),
+        },
+        edges={EdgeSetKey("grid2mesh", ("grid_nodes", "mesh_nodes")): EdgeSet(
+            indices=EdgesIndices(
+                jnp.asarray(art.grid2mesh.senders),
+                jnp.asarray(art.grid2mesh.receivers)),
+            features=edge_feats)})
+
+  def _mesh_graph(self, latent_mesh_nodes) -> TypedGraph:
+    """Multi-mesh processor graph (reference: graphcast.py:665-699)."""
+    art = self._artifact
+    batch = latent_mesh_nodes.shape[1]
+    dtype = latent_mesh_nodes.dtype
+    edge_feats = _add_batch_second_axis(
+        jnp.asarray(art.mesh.features, dtype), batch)
+    return TypedGraph(
+        context=Context(features=()),
+        nodes={"mesh_nodes": NodeSet(art.num_mesh_nodes, latent_mesh_nodes)},
+        edges={EdgeSetKey("mesh", ("mesh_nodes", "mesh_nodes")): EdgeSet(
+            indices=EdgesIndices(
+                jnp.asarray(art.mesh.senders),
+                jnp.asarray(art.mesh.receivers)),
+            features=edge_feats)})
+
+  def _mesh2grid_graph(self, latent_mesh_nodes, latent_grid_nodes
+                       ) -> TypedGraph:
+    """Decoder graph (reference: graphcast.py:701-738)."""
+    art = self._artifact
+    batch = latent_mesh_nodes.shape[1]
+    dtype = latent_mesh_nodes.dtype
+    edge_feats = _add_batch_second_axis(
+        jnp.asarray(art.mesh2grid.features, dtype), batch)
+    return TypedGraph(
+        context=Context(features=()),
+        nodes={
+            "grid_nodes": NodeSet(art.num_grid_nodes, latent_grid_nodes),
+            "mesh_nodes": NodeSet(art.num_mesh_nodes, latent_mesh_nodes),
+        },
+        edges={EdgeSetKey("mesh2grid", ("mesh_nodes", "grid_nodes")): EdgeSet(
+            indices=EdgesIndices(
+                jnp.asarray(art.mesh2grid.senders),
+                jnp.asarray(art.mesh2grid.receivers)),
+            features=edge_feats)})
+
+  # ----- feature packing -----
+
+  def _inputs_to_grid_node_features(self, inputs: FieldSet,
+                                    forcings: FieldSet):
+    """FieldSets → [num_grid_nodes, batch, C]
+    (reference: graphcast.py:739-758)."""
+    stacked_inputs = to_stacked(inputs)      # [batch, lat, lon, C_in]
+    stacked_forcings = to_stacked(forcings)  # [batch, lat, lon, C_f]
+    stacked = jnp.concatenate([stacked_inputs, stacked_forcings], axis=-1)
+    # → [lat, lon, batch, C] → [lat*lon, batch, C]
+    stacked = jnp.transpose(stacked, (1, 2, 0, 3))
+    return stacked.reshape((-1,) + stacked.shape[2:])
+
+  def _grid_node_outputs_to_prediction(self, grid_node_outputs,
+                                       targets_template: FieldSet) -> FieldSet:
+    """[num_grid_nodes, batch, out] → FieldSet
+    (reference: graphcast.py:760-783)."""
+    art = self._artifact
+    grid_shape = (art.grid_lat.shape[0], art.grid_lon.shape[0])
+    data = grid_node_outputs.reshape(grid_shape + grid_node_outputs.shape[1:])
+    data = jnp.transpose(data, (2, 0, 1, 3))  # [batch, lat, lon, out]
+    return from_stacked(data, targets_template)
+
+  # ----- Predictor API -----
+
+  def init(self, rng, inputs, targets_template, forcings, **kwargs):
+    self._maybe_init(inputs)
+    grid_node_features = self._inputs_to_grid_node_features(inputs, forcings)
+    k1, k2, k3 = jax.random.split(rng, 3)
+    latent = self._mc.latent_size
+    batch = grid_node_features.shape[1]
+    dtype = grid_node_features.dtype
+    g2m = self._grid2mesh_graph(grid_node_features)
+    params = {"grid2mesh_gnn": self._grid2mesh_gnn.init(k1, g2m)}
+    latent_template = jnp.zeros(
+        (self._artifact.num_mesh_nodes, batch, latent), dtype)
+    grid_latent_template = jnp.zeros(
+        (self._artifact.num_grid_nodes, batch, latent), dtype)
+    params["mesh_gnn"] = self._mesh_gnn.init(
+        k2, self._mesh_graph(latent_template))
+    params["mesh2grid_gnn"] = self._mesh2grid_gnn.init(
+        k3, self._mesh2grid_graph(latent_template, grid_latent_template))
+    return params
+
+  def __call__(self, params, rng, inputs, targets_template, forcings,
+               **kwargs):
+    del rng  # deterministic
+    self._maybe_init(inputs)
+    grid_node_features = self._inputs_to_grid_node_features(inputs, forcings)
+
+    # Encode (grid2mesh).
+    g2m_out = self._grid2mesh_gnn.apply(
+        params["grid2mesh_gnn"], self._grid2mesh_graph(grid_node_features))
+    latent_mesh_nodes = g2m_out.nodes["mesh_nodes"].features
+    latent_grid_nodes = g2m_out.nodes["grid_nodes"].features
+
+    # Process (multi-mesh).
+    mesh_out = self._mesh_gnn.apply(
+        params["mesh_gnn"], self._mesh_graph(latent_mesh_nodes))
+    updated_latent_mesh_nodes = mesh_out.nodes["mesh_nodes"].features
+
+    # Decode (mesh2grid).
+    m2g_out = self._mesh2grid_gnn.apply(
+        params["mesh2grid_gnn"],
+        self._mesh2grid_graph(updated_latent_mesh_nodes, latent_grid_nodes))
+    output_grid_nodes = m2g_out.nodes["grid_nodes"].features
+
+    return self._grid_node_outputs_to_prediction(
+        output_grid_nodes, targets_template)
+
+  def loss_and_predictions(self, params, rng, inputs, targets, forcings,
+                           **kwargs):
+    predictions = self(params, rng, inputs, targets, forcings, **kwargs)
+    weights = {k: v for k, v in configs.GRAPHCAST_LOSS_WEIGHTS.items()
+               if k in targets.var_names}
+    loss = losses.weighted_mse_per_level(
+        predictions, targets, per_variable_weights=weights)
+    return loss, predictions
+
+  def loss(self, params, rng, inputs, targets, forcings, **kwargs):
+    loss, _ = self.loss_and_predictions(params, rng, inputs, targets,
+                                        forcings, **kwargs)
+    return loss

@@ -1,0 +1,140 @@
+"""Long-horizon inference rollouts (reference: graphcast/rollout.py).
+
+Two mechanisms:
+
+- The *differentiable, fully-jitted* multi-step rollout is
+  ``wrappers.Autoregressive`` (a single lax.scan — subsumes the reference's
+  autoregressive.py for both training and medium-length inference).
+- For very long horizons or when predictions should stream back to host,
+  ``chunked_prediction[_generator]`` below runs a Python loop over chunks of
+  a jitted predictor (reference: rollout.py:205-401), re-using fixed chunk
+  time coordinates so every chunk hits the same compiled program
+  (reference: rollout.py:330-342).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterator, Optional
+
+import jax
+import numpy as np
+
+from graphcast_tpu.fields import Field, FieldSet
+
+# predictor_fn(rng, inputs, targets_template, forcings) -> predictions
+PredictorFn = Callable[..., FieldSet]
+
+
+def _strip_time(fs: FieldSet) -> FieldSet:
+  return fs.assign_coords(time=None)
+
+
+def get_next_inputs(prev_inputs: FieldSet, predictions: FieldSet,
+                    forcings: FieldSet) -> FieldSet:
+  """Rolls the input window forward using predictions + forcings
+  (reference: rollout.py:379-401)."""
+  time_dep_names = [n for n in prev_inputs.var_names
+                    if "time" in prev_inputs[n].dims]
+  constant = prev_inputs.drop(time_dep_names)
+  window = prev_inputs.select(time_dep_names)
+  num_times = window.sizes["time"]
+  next_frames = FieldSet.merge(
+      [_strip_time(predictions), _strip_time(forcings)])
+  next_frames = next_frames.select(
+      [n for n in time_dep_names])
+  merged = FieldSet.concat([_strip_time(window), next_frames], "time")
+  rolled = merged.isel(time=slice(-num_times, None))
+  return FieldSet.merge([constant, rolled])
+
+
+def chunked_prediction_generator(
+    predictor_fn: PredictorFn,
+    rng,
+    inputs: FieldSet,
+    targets_template: FieldSet,
+    forcings: FieldSet,
+    num_steps_per_chunk: int = 1,
+    pull_to_host: bool = True,
+) -> Iterator[FieldSet]:
+  """Yields per-chunk predictions; feeds each chunk back as next inputs.
+
+  Each chunk is evaluated with the *same* time coordinates (those of the
+  first chunk) so the jitted predictor compiles once; the yielded chunks are
+  re-stamped with their true target times.
+  """
+  num_target_steps = targets_template.sizes["time"]
+  if num_target_steps % num_steps_per_chunk:
+    raise ValueError(
+        f"num_steps_per_chunk {num_steps_per_chunk} must divide the "
+        f"{num_target_steps} target steps")
+  num_chunks = num_target_steps // num_steps_per_chunk
+  target_times = targets_template.coords.get("time")
+
+  chunk_template = _strip_time(
+      targets_template.isel(time=slice(0, num_steps_per_chunk)))
+  full_forcings = _strip_time(forcings)
+  current_inputs = inputs
+
+  for chunk_idx in range(num_chunks):
+    t0 = chunk_idx * num_steps_per_chunk
+    chunk_forcings = full_forcings.isel(
+        time=slice(t0, t0 + num_steps_per_chunk))
+    rng, chunk_rng = jax.random.split(rng)
+    predictions = predictor_fn(
+        rng=chunk_rng, inputs=current_inputs,
+        targets_template=chunk_template, forcings=chunk_forcings)
+    current_inputs = get_next_inputs(current_inputs, predictions,
+                                     chunk_forcings)
+    if pull_to_host:
+      # Stream results off-device so long rollouts don't accumulate HBM
+      # (reference: rollout.py:350-360).
+      predictions = jax.tree_util.tree_map(np.asarray, predictions)
+      current_inputs = jax.device_get(current_inputs)
+    if target_times is not None:
+      predictions = predictions.assign_coords(
+          time=target_times[t0:t0 + num_steps_per_chunk])
+    yield predictions
+
+
+def chunked_prediction(
+    predictor_fn: PredictorFn,
+    rng,
+    inputs: FieldSet,
+    targets_template: FieldSet,
+    forcings: FieldSet,
+    num_steps_per_chunk: int = 1,
+    pull_to_host: bool = True,
+) -> FieldSet:
+  """Concatenation of all chunks (reference: rollout.py:205-242)."""
+  chunks = list(chunked_prediction_generator(
+      predictor_fn, rng, inputs, targets_template, forcings,
+      num_steps_per_chunk, pull_to_host))
+  out = FieldSet.concat(chunks, "time")
+  times = targets_template.coords.get("time")
+  if times is not None:
+    out = out.assign_coords(time=times)
+  return out
+
+
+def extend_targets_template(targets_template: FieldSet,
+                            required_num_steps: int) -> FieldSet:
+  """Extends a template along time to `required_num_steps`
+  (reference: rollout.py:404-461, without the dask laziness)."""
+  current = targets_template.sizes["time"]
+  if current >= required_num_steps:
+    return targets_template.isel(time=slice(0, required_num_steps))
+  fields = {}
+  for name in targets_template.var_names:
+    f = targets_template[name]
+    t_axis = f.dims.index("time")
+    shape = list(f.shape)
+    shape[t_axis] = required_num_steps
+    fields[name] = Field(np.zeros(shape, f.dtype), f.dims)
+  coords = targets_template.coords
+  if "time" in coords and current >= 2:
+    t = coords["time"]
+    delta = t[1] - t[0]
+    coords["time"] = t[0] + delta * np.arange(required_num_steps)
+  elif "time" in coords and current == 1:
+    coords["time"] = coords["time"][0] * np.arange(1, required_num_steps + 1)
+  return FieldSet(fields, coords=coords)

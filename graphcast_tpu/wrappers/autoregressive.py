@@ -1,0 +1,212 @@
+"""Autoregressive multi-step wrapper as a single jittable lax.scan.
+
+Native re-design of the reference's autoregressive.py:39-312 (hk.scan with
+flattened xarray forcings). A one-step predictor is unrolled over the target
+times inside one compiled program: the rolling input window is the scan
+carry, per-step forcings/targets are scan xs with the time axis moved to the
+scan dimension, and per-step gradient checkpointing (jax.checkpoint, the
+reference's hk.remat at autoregressive.py:201-209) bounds memory for BPTT.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from graphcast_tpu.fields import Field, FieldSet
+from graphcast_tpu.models.base import Predictor, WrapperPredictor
+
+
+def _split_constant_inputs(inputs: FieldSet, targets: FieldSet,
+                           forcings: FieldSet):
+  """Constant (timeless) inputs vs time-dependent ones
+  (reference: autoregressive.py:88-98)."""
+  constant_names = [n for n in inputs.var_names
+                    if n not in targets and n not in forcings]
+  for name in constant_names:
+    if "time" in inputs[name].dims:
+      raise ValueError(
+          f"time-dependent input {name!r} must be a forcing or target "
+          "variable to allow autoregressive feedback")
+  constant = inputs.select(constant_names)
+  time_dep = inputs.drop(constant_names)
+  return constant, time_dep
+
+
+def _validate(targets: FieldSet, forcings: FieldSet):
+  for name in targets.var_names:
+    if "time" not in targets[name].dims:
+      raise ValueError(f"target {name!r} must be time-dependent")
+  for name in forcings.var_names:
+    if "time" not in forcings[name].dims:
+      raise ValueError(f"forcing {name!r} must be time-dependent")
+  overlap = set(targets.var_names) & set(forcings.var_names)
+  if overlap:
+    raise ValueError(f"variables are both targets and forcings: {overlap}")
+
+
+def _to_scan_xs(fs: FieldSet):
+  """{name: array [T, *rest]} with the time axis moved to front/removed."""
+  xs = {}
+  for name in fs.var_names:
+    f = fs[name]
+    t_axis = f.dims.index("time")
+    xs[name] = jnp.moveaxis(f.data, t_axis, 0)
+  return xs
+
+
+def _from_scan_x(xs: dict, template: FieldSet) -> FieldSet:
+  """Rebuilds a single-timestep FieldSet (time size 1) from scan slices."""
+  fields = {}
+  for name in template.var_names:
+    f = template[name]
+    t_axis = f.dims.index("time")
+    data = jnp.expand_dims(xs[name], t_axis)
+    fields[name] = Field(data, f.dims)
+  return FieldSet(fields, coords=template.coords)
+
+
+def _update_window(window: FieldSet, next_frame: FieldSet) -> FieldSet:
+  """Appends the new frame, keeps the trailing `num_input_times` frames
+  (reference: autoregressive.py:114-125)."""
+  num_times = window.sizes["time"]
+  new_frame = next_frame.select(list(window.var_names))
+  merged = FieldSet.concat([window, new_frame], "time")
+  return merged.isel(time=slice(-num_times, None))
+
+
+class Autoregressive(WrapperPredictor):
+  """Multi-step predictor from a one-step predictor."""
+
+  def __init__(self, predictor: Predictor,
+               noise_level: Optional[float] = None,
+               gradient_checkpointing: bool = False):
+    super().__init__(predictor)
+    self._noise_level = noise_level
+    self._gradient_checkpointing = gradient_checkpointing
+
+  def init(self, rng, inputs, targets_template, forcings, **kwargs):
+    # The inner one-step predictor only ever sees single-timestep targets
+    # and forcings inside the scan.
+    return self._predictor.init(
+        rng, inputs,
+        targets_template.isel(time=slice(0, 1)),
+        forcings.isel(time=slice(0, 1)), **kwargs)
+
+  def __call__(self, params, rng, inputs, targets_template, forcings,
+               **kwargs):
+    constant_inputs, inputs = _split_constant_inputs(
+        inputs, targets_template, forcings)
+    _validate(targets_template, forcings)
+    num_steps = targets_template.sizes["time"]
+    # Strip time coords so the scan carry treedef stays fixed across steps
+    # (the reference re-assigns time coords each step for the same reason,
+    # autoregressive.py:121-125 / rollout.py:330-342).
+    inputs = inputs.assign_coords(time=None)
+    template_1 = targets_template.isel(
+        time=slice(0, 1)).assign_coords(time=None)
+    forcings = forcings.assign_coords(time=None)
+
+    forcings_xs = _to_scan_xs(forcings)
+    forcings_template = forcings.isel(time=slice(0, 1))
+    rngs = jax.random.split(rng, num_steps)
+
+    def step(window, xs):
+      step_rng, forcing_slices = xs
+      forcings_t = _from_scan_x(forcing_slices, forcings_template)
+      all_inputs = FieldSet.merge([constant_inputs, window])
+      predictions = self._predictor(
+          params, step_rng, all_inputs, template_1, forcings_t, **kwargs)
+      next_frame = FieldSet.merge([predictions, forcings_t])
+      next_window = _update_window(window, next_frame)
+      ys = {n: predictions[n].isel("time", 0).data
+            for n in predictions.var_names}
+      return next_window, ys
+
+    if self._gradient_checkpointing and num_steps > 1:
+      step = jax.checkpoint(step)
+
+    _, ys = jax.lax.scan(step, inputs, (rngs, forcings_xs))
+
+    fields = {}
+    for name in targets_template.var_names:
+      tf = targets_template[name]
+      t_axis = tf.dims.index("time")
+      fields[name] = Field(jnp.moveaxis(ys[name], 0, t_axis), tf.dims)
+    return FieldSet(fields, coords=targets_template.coords)
+
+  def loss(self, params, rng, inputs, targets, forcings, **kwargs):
+    if targets.sizes["time"] == 1:
+      # Delegate directly; no AR feedback needed
+      # (reference: autoregressive.py:231-236).
+      return self._predictor.loss(params, rng, inputs, targets, forcings,
+                                  **kwargs)
+    (loss, diagnostics), _ = self._loss_scan(
+        params, rng, inputs, targets, forcings, **kwargs)
+    return loss, diagnostics
+
+  def loss_and_predictions(self, params, rng, inputs, targets, forcings,
+                           **kwargs):
+    return self._loss_scan(params, rng, inputs, targets, forcings, **kwargs)
+
+  def _loss_scan(self, params, rng, inputs, targets, forcings, **kwargs):
+    constant_inputs, inputs = _split_constant_inputs(
+        inputs, targets, forcings)
+    _validate(targets, forcings)
+    num_steps = targets.sizes["time"]
+
+    rng, noise_rng = jax.random.split(rng)
+    if self._noise_level:
+      # Add input noise to time-dependent inputs only
+      # (reference: autoregressive.py:244-249).
+      noise_rngs = jax.random.split(noise_rng, len(inputs.var_names))
+      inputs = FieldSet(
+          {n: Field(f.data + self._noise_level * jax.random.normal(
+              k, f.data.shape, f.data.dtype), f.dims)
+           for (n, f), k in zip(inputs.items(), noise_rngs)},
+          coords=inputs.coords)
+
+    inputs = inputs.assign_coords(time=None)
+    targets_nc = targets.assign_coords(time=None)
+    forcings = forcings.assign_coords(time=None)
+    targets_template_1 = targets_nc.isel(time=slice(0, 1))
+    forcings_template = forcings.isel(time=slice(0, 1))
+
+    targets_xs = _to_scan_xs(targets_nc)
+    forcings_xs = _to_scan_xs(forcings)
+    rngs = jax.random.split(rng, num_steps)
+
+    def step(window, xs):
+      step_rng, target_slices, forcing_slices = xs
+      forcings_t = _from_scan_x(forcing_slices, forcings_template)
+      targets_t = _from_scan_x(target_slices, targets_template_1)
+      all_inputs = FieldSet.merge([constant_inputs, window])
+      (loss, diagnostics), predictions = (
+          self._predictor.loss_and_predictions(
+              params, step_rng, all_inputs, targets_t, forcings_t, **kwargs))
+      next_frame = FieldSet.merge([predictions, forcings_t])
+      next_window = _update_window(window, next_frame)
+      pred_ys = {n: predictions[n].isel("time", 0).data
+                 for n in predictions.var_names}
+      return next_window, (loss, diagnostics, pred_ys)
+
+    if self._gradient_checkpointing and num_steps > 1:
+      step = jax.checkpoint(step)
+
+    _, (losses, diagnostics, pred_ys) = jax.lax.scan(
+        step, inputs, (rngs, targets_xs, forcings_xs))
+
+    # Average per-timestep losses over time
+    # (reference: autoregressive.py:303-312).
+    loss = jnp.mean(losses, axis=0)
+    diagnostics = {k: jnp.mean(v, axis=0) for k, v in diagnostics.items()}
+
+    fields = {}
+    for name in targets.var_names:
+      tf = targets[name]
+      t_axis = tf.dims.index("time")
+      fields[name] = Field(jnp.moveaxis(pred_ys[name], 0, t_axis), tf.dims)
+    predictions = FieldSet(fields, coords=targets.coords)
+    return (loss, diagnostics), predictions

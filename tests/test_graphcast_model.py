@@ -1,0 +1,151 @@
+"""End-to-end tests: GraphCast model + wrapper stack + AR rollout/loss."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from graphcast_tpu.data import synthetic
+from graphcast_tpu.fields import Field, FieldSet
+from graphcast_tpu.models import configs
+from graphcast_tpu.models.graphcast import GraphCast
+from graphcast_tpu.wrappers import (
+    Autoregressive, Bfloat16Cast, InputsAndResiduals)
+
+
+TINY_TASK = configs.TaskConfig(
+    input_variables=(
+        "2m_temperature", "temperature", "toa_incident_solar_radiation",
+        "land_sea_mask"),
+    target_variables=("2m_temperature", "temperature"),
+    forcing_variables=("toa_incident_solar_radiation",),
+    pressure_levels=(500, 850),
+    input_duration="12h",
+)
+
+TINY_MODEL = configs.ModelConfig(
+    resolution=30.0, mesh_size=1, latent_size=16, gnn_msg_steps=2,
+    hidden_layers=1, radius_query_fraction_edge_length=0.6)
+
+
+def build_stack(num_targets=1, grad_ckpt=False):
+  inputs, targets, forcings = synthetic.make_example_batch(
+      TINY_TASK, resolution=30.0, batch=2, num_target_times=num_targets)
+  stddev, mean, diffs_stddev = synthetic.make_norm_stats(TINY_TASK)
+  predictor = GraphCast(TINY_MODEL, TINY_TASK, cache_dir="")
+  predictor = Bfloat16Cast(predictor)
+  predictor = InputsAndResiduals(
+      predictor, stddev_by_level=stddev, mean_by_level=mean,
+      diffs_stddev_by_level=diffs_stddev)
+  predictor = Autoregressive(predictor, gradient_checkpointing=grad_ckpt)
+  return predictor, inputs, targets, forcings
+
+
+def test_one_step_forward_shapes():
+  predictor, inputs, targets, forcings = build_stack(num_targets=1)
+  rng = jax.random.PRNGKey(0)
+  params = predictor.init(rng, inputs, targets, forcings)
+  preds = predictor(params, rng, inputs, targets, forcings)
+  assert preds.var_names == targets.var_names
+  for n in targets.var_names:
+    assert preds[n].shape == targets[n].shape, n
+    assert preds[n].dtype == jnp.float32
+    assert np.isfinite(np.asarray(preds[n].data)).all()
+
+
+def test_ar_rollout_jitted():
+  predictor, inputs, targets, forcings = build_stack(num_targets=3)
+  rng = jax.random.PRNGKey(0)
+  params = predictor.init(rng, inputs, targets, forcings)
+
+  @jax.jit
+  def forward(params, rng, inputs, targets_template, forcings):
+    return predictor(params, rng, inputs, targets_template, forcings)
+
+  preds = forward(params, rng, inputs, targets, forcings)
+  assert preds["temperature"].sizes["time"] == 3
+  assert np.isfinite(np.asarray(preds["temperature"].data)).all()
+  # Steps differ (autoregression is actually feeding back).
+  t0 = np.asarray(preds["temperature"].isel("time", 0).data)
+  t2 = np.asarray(preds["temperature"].isel("time", 2).data)
+  assert not np.allclose(t0, t2)
+
+
+def test_ar_loss_and_grads():
+  predictor, inputs, targets, forcings = build_stack(
+      num_targets=2, grad_ckpt=True)
+  rng = jax.random.PRNGKey(0)
+  params = predictor.init(rng, inputs, targets, forcings)
+
+  def loss_fn(params):
+    (loss, diagnostics) = predictor.loss(
+        params, rng, inputs, targets, forcings)
+    return jnp.mean(loss), diagnostics
+
+  (loss, diagnostics), grads = jax.jit(
+      jax.value_and_grad(loss_fn, has_aux=True))(params)
+  assert np.isfinite(float(loss))
+  assert set(diagnostics) == {"2m_temperature", "temperature"}
+  flat = jax.tree_util.tree_leaves(grads)
+  assert all(np.isfinite(np.asarray(g)).all() for g in flat)
+  assert any(float(jnp.abs(g).max()) > 0 for g in flat)
+
+
+def test_one_step_loss_equals_ar_loss_one_step():
+  """AR loss with 1 step delegates to the inner predictor's loss
+  (reference behavior: autoregressive.py:231-236)."""
+  predictor, inputs, targets, forcings = build_stack(num_targets=1)
+  rng = jax.random.PRNGKey(0)
+  params = predictor.init(rng, inputs, targets, forcings)
+  loss_ar, _ = predictor.loss(params, rng, inputs, targets, forcings)
+  loss_inner, _ = predictor._predictor.loss(
+      params, rng, inputs, targets, forcings)
+  np.testing.assert_allclose(np.asarray(loss_ar), np.asarray(loss_inner),
+                             rtol=1e-6)
+
+
+def test_bf16_inner_compute():
+  """The inner model computes in bf16 but returns target dtype."""
+  predictor, inputs, targets, forcings = build_stack()
+  rng = jax.random.PRNGKey(0)
+  params = predictor.init(rng, inputs, targets, forcings)
+  # All params stored f32 (master copies).
+  for leaf in jax.tree_util.tree_leaves(params):
+    assert leaf.dtype == jnp.float32
+  preds = predictor(params, rng, inputs, targets, forcings)
+  assert preds["temperature"].dtype == jnp.float32
+
+
+class _IdentityPredictor:
+  """Predicts the last input frame, normalized domain (for wrapper math)."""
+
+  def init(self, rng, *a, **k):
+    return {}
+
+  def __call__(self, params, rng, inputs, targets_template, forcings, **kw):
+    out = {}
+    for name in targets_template.var_names:
+      tf = targets_template[name]
+      # predict zeros: residual-normalized zero → prediction = last input
+      out[name] = Field(jnp.zeros(tf.shape, tf.dtype), tf.dims)
+    return FieldSet(out, coords=targets_template.coords)
+
+  def loss(self, *a, **k):
+    raise NotImplementedError
+
+
+def test_inputs_and_residuals_math():
+  """Zero normalized-residual prediction must map back to the last input."""
+  inputs, targets, forcings = synthetic.make_example_batch(
+      TINY_TASK, resolution=30.0, batch=1)
+  stddev, mean, diffs_stddev = synthetic.make_norm_stats(TINY_TASK)
+  wrapper = InputsAndResiduals(
+      _IdentityPredictor(), stddev_by_level=stddev, mean_by_level=mean,
+      diffs_stddev_by_level=diffs_stddev)
+  preds = wrapper({}, jax.random.PRNGKey(0), inputs, targets, forcings)
+  for name in ("2m_temperature", "temperature"):
+    last_input = np.asarray(inputs[name].isel("time", -1).data)
+    got = np.asarray(preds[name].isel("time", 0).data)
+    np.testing.assert_allclose(got, last_input, rtol=1e-5)

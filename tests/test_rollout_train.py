@@ -1,0 +1,128 @@
+"""Tests: chunked rollout, train step, batch sharding over a device mesh."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from graphcast_tpu import rollout, train
+from graphcast_tpu.data import synthetic
+from graphcast_tpu.fields import FieldSet
+from graphcast_tpu.models import configs
+from graphcast_tpu.models.graphcast import GraphCast
+from graphcast_tpu.parallel import sharding as sharding_lib
+from graphcast_tpu.wrappers import (
+    Autoregressive, Bfloat16Cast, InputsAndResiduals)
+from tests.test_graphcast_model import TINY_MODEL, TINY_TASK
+
+
+def build(num_targets, batch=2, grad_ckpt=False):
+  inputs, targets, forcings = synthetic.make_example_batch(
+      TINY_TASK, resolution=30.0, batch=batch, num_target_times=num_targets)
+  stddev, mean, diffs = synthetic.make_norm_stats(TINY_TASK)
+  predictor = Autoregressive(
+      InputsAndResiduals(
+          Bfloat16Cast(GraphCast(TINY_MODEL, TINY_TASK, cache_dir="")),
+          stddev_by_level=stddev, mean_by_level=mean,
+          diffs_stddev_by_level=diffs),
+      gradient_checkpointing=grad_ckpt)
+  return predictor, inputs, targets, forcings
+
+
+def test_chunked_prediction_matches_scan_rollout():
+  """The Python chunked driver must agree with the in-graph lax.scan AR."""
+  predictor, inputs, targets, forcings = build(num_targets=4, batch=1)
+  rng = jax.random.PRNGKey(0)
+  params = predictor.init(rng, inputs, targets, forcings)
+
+  direct = predictor(params, rng, inputs, targets, forcings)
+
+  @jax.jit
+  def predictor_fn(rng, inputs, targets_template, forcings):
+    return predictor(params, rng, inputs, targets_template, forcings)
+
+  chunked = rollout.chunked_prediction(
+      predictor_fn, rng, inputs, targets, forcings, num_steps_per_chunk=2)
+  for n in targets.var_names:
+    np.testing.assert_allclose(
+        np.asarray(chunked.data(n)), np.asarray(direct.data(n)),
+        rtol=2e-2, atol=2e-2)  # bf16 tolerance
+
+  # Chunk of 1 as well.
+  chunked1 = rollout.chunked_prediction(
+      predictor_fn, rng, inputs, targets, forcings, num_steps_per_chunk=1)
+  for n in targets.var_names:
+    np.testing.assert_allclose(
+        np.asarray(chunked1.data(n)), np.asarray(chunked.data(n)),
+        rtol=2e-2, atol=2e-2)
+
+
+def test_extend_targets_template():
+  _, _, targets, _ = build(num_targets=2, batch=1)
+  ext = rollout.extend_targets_template(targets, 5)
+  assert ext.sizes["time"] == 5
+  assert ext.coords["time"].shape == (5,)
+
+
+def test_train_step_decreases_loss():
+  predictor, inputs, targets, forcings = build(num_targets=2, grad_ckpt=True)
+  rng = jax.random.PRNGKey(0)
+  optimizer = optax.adam(3e-4)
+  state = train.init_train_state(
+      predictor, optimizer, rng, inputs, targets, forcings)
+  step = train.make_train_step(predictor, optimizer, donate=False)
+  losses = []
+  for i in range(5):
+    state, loss, diagnostics = step(
+        state, jax.random.PRNGKey(i), inputs, targets, forcings)
+    losses.append(float(loss))
+  assert int(state.step) == 5
+  assert losses[-1] < losses[0]
+  assert np.isfinite(losses).all()
+
+
+def test_batch_sharded_train_step():
+  """Train step with the batch axis sharded over an 8-device CPU mesh."""
+  predictor, inputs, targets, forcings = build(num_targets=1, batch=8)
+  rng = jax.random.PRNGKey(0)
+  optimizer = optax.sgd(1e-3)
+  state = train.init_train_state(
+      predictor, optimizer, rng, inputs, targets, forcings)
+
+  mesh = sharding_lib.make_mesh({"batch": 8})
+  inputs_s, targets_s, forcings_s = sharding_lib.shard_fieldsets(
+      mesh, inputs, targets, forcings)
+  state = sharding_lib.replicate(state, mesh)
+  step = train.make_train_step(predictor, optimizer, donate=False)
+  state2, loss_sharded, _ = step(state, rng, inputs_s, targets_s, forcings_s)
+
+  # Same result as unsharded.
+  state_r = train.init_train_state(
+      predictor, optimizer, jax.random.PRNGKey(0), inputs, targets, forcings)
+  _, loss_unsharded, _ = step(state_r, rng, inputs, targets, forcings)
+  np.testing.assert_allclose(float(loss_sharded), float(loss_unsharded),
+                             rtol=1e-4)
+
+  # Params stay replicated, grads were all-reduced.
+  leaf = jax.tree_util.tree_leaves(state2.params)[0]
+  assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_sharded_forward_matches_single_device():
+  predictor, inputs, targets, forcings = build(num_targets=2, batch=8)
+  rng = jax.random.PRNGKey(0)
+  params = predictor.init(rng, inputs, targets, forcings)
+
+  fwd = jax.jit(functools.partial(predictor, params))
+  expected = fwd(rng, inputs, targets, forcings)
+
+  mesh = sharding_lib.make_mesh({"batch": 8})
+  inputs_s, targets_s, forcings_s = sharding_lib.shard_fieldsets(
+      mesh, inputs, targets, forcings)
+  got = fwd(rng, inputs_s, targets_s, forcings_s)
+  for n in targets.var_names:
+    np.testing.assert_allclose(np.asarray(got.data(n)),
+                               np.asarray(expected.data(n)),
+                               rtol=2e-2, atol=2e-2)
