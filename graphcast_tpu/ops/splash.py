@@ -1,0 +1,463 @@
+"""Block-sparse flash attention Pallas TPU kernel ("splash" equivalent).
+
+The reference imports jax.experimental.pallas.ops.tpu.splash_attention
+(sparse_transformer.py:34,244-275); here we implement our own block-sparse
+attention for the RCM-banded k-hop mesh masks:
+
+- The (static, host-side) sparse mask is compiled into a *block map*: for
+  every query block, the list of key/value blocks containing any unmasked
+  entry, plus per-(q,kv)-block dense bitmaps for partially-masked blocks.
+  Fully-masked blocks are never visited — compute scales with the band, not
+  N².
+- Forward: flash-style streaming softmax (f32 accumulators in VMEM) over the
+  active kv blocks of each q block; emits logsumexp for the backward pass.
+- Backward: custom VJP with two Pallas kernels — dq over the q-block map,
+  and dk/dv over the transposed (kv→q) block map — recomputing attention
+  weights from q,k,v and the saved logsumexp (no O(N·band) attention matrix
+  is ever materialized).
+
+Layouts: q,k,v,o are [batch_heads, num_nodes, head_dim] inside the kernel
+(callers reshape from [batch, nodes, heads, head_dim]); head_dim should be a
+multiple of 128 to tile onto the MXU (the reference has the same constraint,
+sparse_transformer.py:291).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.sparse as sp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _build_block_map(mask: sp.csr_matrix, block_q: int, block_kv: int):
+  """Compiles a sparse mask into q-block → active-kv-block maps.
+
+  Returns dict with:
+    kv_index:  [nq, ma]  kv-block id per slot (0-padded)
+    kv_count:  [nq]      number of active slots
+    mask_blocks: [nq * ma, block_q, block_kv] bool bitmaps (all-True for
+      padded slots, so they are harmless if visited)
+    plus transposed maps (q_index, q_count, mask_blocks_t) for dkv.
+  """
+  n = mask.shape[0]
+  nq = -(-n // block_q)
+  nkv = -(-n // block_kv)
+  n_q_pad = nq * block_q
+  n_kv_pad = nkv * block_kv
+  dense = np.zeros((n_q_pad, n_kv_pad), dtype=bool)
+  dense[:n, :n] = mask.toarray()
+
+  blocks = dense.reshape(nq, block_q, nkv, block_kv).transpose(0, 2, 1, 3)
+  active = blocks.any(axis=(2, 3))  # [nq, nkv]
+
+  kv_lists = [np.nonzero(active[i])[0] for i in range(nq)]
+  ma = max((len(l) for l in kv_lists), default=1)
+  kv_index = np.zeros((nq, ma), dtype=np.int32)
+  kv_count = np.zeros((nq,), dtype=np.int32)
+  mask_blocks = np.zeros((nq, ma, block_q, block_kv), dtype=np.bool_)
+  for i, lst in enumerate(kv_lists):
+    kv_count[i] = len(lst)
+    for s, j in enumerate(lst):
+      kv_index[i, s] = j
+      mask_blocks[i, s] = blocks[i, j]
+
+  q_lists = [np.nonzero(active[:, j])[0] for j in range(nkv)]
+  mat = max((len(l) for l in q_lists), default=1)
+  q_index = np.zeros((nkv, mat), dtype=np.int32)
+  q_count = np.zeros((nkv,), dtype=np.int32)
+  mask_blocks_t = np.zeros((nkv, mat, block_q, block_kv), dtype=np.bool_)
+  for j, lst in enumerate(q_lists):
+    q_count[j] = len(lst)
+    for s, i in enumerate(lst):
+      q_index[j, s] = i
+      mask_blocks_t[j, s] = blocks[i, j]
+
+  return dict(
+      n=n, nq=nq, nkv=nkv, ma=ma, mat=mat,
+      n_q_pad=n_q_pad, n_kv_pad=n_kv_pad,
+      kv_index=kv_index, kv_count=kv_count,
+      mask_blocks=mask_blocks.reshape(nq * ma, block_q, block_kv),
+      q_index=q_index, q_count=q_count,
+      mask_blocks_t=mask_blocks_t.reshape(nkv * mat, block_q, block_kv),
+  )
+
+
+# ---------------------------------------------------------------------------
+# Forward kernel.
+# ---------------------------------------------------------------------------
+
+
+def _fwd_kernel(kv_index, kv_count, q_ref, k_ref, v_ref, mask_ref,
+                o_ref, lse_ref, m_scr, l_scr, acc_scr, *, scale, ma):
+  j = pl.program_id(2)
+  i = pl.program_id(1)
+
+  @pl.when(j == 0)
+  def _init():
+    m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+    l_scr[:] = jnp.zeros_like(l_scr)
+    acc_scr[:] = jnp.zeros_like(acc_scr)
+
+  @pl.when(j < kv_count[i])
+  def _compute():
+    q = q_ref[0]  # [bq, d]
+    k = k_ref[0]  # [bkv, d]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale  # [bq, bkv]
+    s = jnp.where(mask_ref[0], s, NEG_INF)
+
+    m_prev = m_scr[:, :1]                          # [bq, 1]
+    m_cur = jnp.max(s, axis=-1, keepdims=True)     # [bq, 1]
+    m_new = jnp.maximum(m_prev, m_cur)
+    alpha = jnp.exp(m_prev - m_new)                # [bq, 1]
+    p = jnp.exp(s - m_new)                         # [bq, bkv]
+    l_new = l_scr[:, :1] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
+        p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
+    l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
+
+  @pl.when(j == ma - 1)
+  def _finalize():
+    l = l_scr[:, :1]
+    l_safe = jnp.where(l == 0.0, 1.0, l)
+    o_ref[0] = (acc_scr[:] / l_safe).astype(o_ref.dtype)
+    lse_ref[0] = m_scr[:, :1] + jnp.log(l_safe)
+
+
+def _fwd(q, k, v, block_map, block_q, block_kv, scale, interpret):
+  """q,k,v: [bh, n_pad, d] (already padded). Returns (o, lse)."""
+  bh, n_q_pad, d = q.shape
+  nq, ma = block_map["nq"], block_map["ma"]
+  kv_index = jnp.asarray(block_map["kv_index"])
+  kv_count = jnp.asarray(block_map["kv_count"])
+  mask_blocks = jnp.asarray(block_map["mask_blocks"])
+
+  grid = (bh, nq, ma)
+  kernel = functools.partial(_fwd_kernel, scale=scale, ma=ma)
+  out_shape = (
+      jax.ShapeDtypeStruct((bh, n_q_pad, d), q.dtype),
+      jax.ShapeDtypeStruct((bh, n_q_pad, 1), jnp.float32),
+  )
+  grid_spec = pltpu.PrefetchScalarGridSpec(
+      num_scalar_prefetch=2,
+      grid=grid,
+      in_specs=[
+          pl.BlockSpec((1, block_q, d), lambda b, i, j, kvi, kvc: (b, i, 0)),
+          pl.BlockSpec((1, block_kv, d),
+                       lambda b, i, j, kvi, kvc: (b, kvi[i, j], 0)),
+          pl.BlockSpec((1, block_kv, d),
+                       lambda b, i, j, kvi, kvc: (b, kvi[i, j], 0)),
+          pl.BlockSpec((1, block_q, block_kv),
+                       lambda b, i, j, kvi, kvc: (i * ma + j, 0, 0)),
+      ],
+      out_specs=[
+          pl.BlockSpec((1, block_q, d), lambda b, i, j, kvi, kvc: (b, i, 0)),
+          pl.BlockSpec((1, block_q, 1), lambda b, i, j, kvi, kvc: (b, i, 0)),
+      ],
+      scratch_shapes=[
+          pltpu.VMEM((block_q, 128), jnp.float32),
+          pltpu.VMEM((block_q, 128), jnp.float32),
+          pltpu.VMEM((block_q, d), jnp.float32),
+      ],
+  )
+  o, lse = pl.pallas_call(
+      kernel, grid_spec=grid_spec, out_shape=out_shape,
+      interpret=interpret)(kv_index, kv_count, q, k, v, mask_blocks)
+  return o, lse[..., 0]
+
+
+# ---------------------------------------------------------------------------
+# Backward kernels.
+# ---------------------------------------------------------------------------
+
+
+def _dq_kernel(kv_index, kv_count, q_ref, k_ref, v_ref, mask_ref, do_ref,
+               lse_ref, delta_ref, dq_ref, dq_scr, *, scale, ma):
+  j = pl.program_id(2)
+  i = pl.program_id(1)
+
+  @pl.when(j == 0)
+  def _init():
+    dq_scr[:] = jnp.zeros_like(dq_scr)
+
+  @pl.when(j < kv_count[i])
+  def _compute():
+    q = q_ref[0]
+    k = k_ref[0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale
+    s = jnp.where(mask_ref[0], s, NEG_INF)
+    p = jnp.exp(s - lse_ref[0])                    # [bq, bkv]
+    do = do_ref[0]
+    dp = jax.lax.dot_general(
+        do, v_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)         # [bq, bkv]
+    ds = p * (dp - delta_ref[0]) * scale            # [bq, bkv]
+    dq_scr[:] += jax.lax.dot_general(
+        ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+  @pl.when(j == ma - 1)
+  def _finalize():
+    dq_ref[0] = dq_scr[:].astype(dq_ref.dtype)
+
+
+def _dkv_kernel(q_index, q_count, q_ref, k_ref, v_ref, mask_ref, do_ref,
+                lse_ref, delta_ref, dk_ref, dv_ref, dk_scr, dv_scr,
+                *, scale, mat):
+  s_idx = pl.program_id(2)
+  j = pl.program_id(1)
+
+  @pl.when(s_idx == 0)
+  def _init():
+    dk_scr[:] = jnp.zeros_like(dk_scr)
+    dv_scr[:] = jnp.zeros_like(dv_scr)
+
+  @pl.when(s_idx < q_count[j])
+  def _compute():
+    q = q_ref[0]       # [bq, d]
+    k = k_ref[0]       # [bkv, d]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale  # [bq, bkv]
+    s = jnp.where(mask_ref[0], s, NEG_INF)
+    p = jnp.exp(s - lse_ref[0])                      # [bq, bkv]
+    do = do_ref[0]                                   # [bq, d]
+    dv_scr[:] += jax.lax.dot_general(
+        p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)           # [bkv, d]
+    dp = jax.lax.dot_general(
+        do, v_ref[0], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)           # [bq, bkv]
+    ds = p * (dp - delta_ref[0]) * scale              # [bq, bkv]
+    dk_scr[:] += jax.lax.dot_general(
+        ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)           # [bkv, d]
+
+  @pl.when(s_idx == mat - 1)
+  def _finalize():
+    dk_ref[0] = dk_scr[:].astype(dk_ref.dtype)
+    dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
+
+
+def _bwd(q, k, v, o, lse, do, block_map, block_q, block_kv, scale, interpret):
+  bh, n_q_pad, d = q.shape
+  n_kv_pad = k.shape[1]
+  nq, ma = block_map["nq"], block_map["ma"]
+  nkv, mat = block_map["nkv"], block_map["mat"]
+
+  delta = jnp.sum(o.astype(jnp.float32) * do.astype(jnp.float32),
+                  axis=-1)  # [bh, n_q_pad]
+  lse_b = lse[..., None]      # [bh, n_q_pad, 1]
+  delta_b = delta[..., None]  # [bh, n_q_pad, 1]
+
+  kv_index = jnp.asarray(block_map["kv_index"])
+  kv_count = jnp.asarray(block_map["kv_count"])
+  mask_blocks = jnp.asarray(block_map["mask_blocks"])
+
+  dq = pl.pallas_call(
+      functools.partial(_dq_kernel, scale=scale, ma=ma),
+      grid_spec=pltpu.PrefetchScalarGridSpec(
+          num_scalar_prefetch=2,
+          grid=(bh, nq, ma),
+          in_specs=[
+              pl.BlockSpec((1, block_q, d),
+                           lambda b, i, j, kvi, kvc: (b, i, 0)),
+              pl.BlockSpec((1, block_kv, d),
+                           lambda b, i, j, kvi, kvc: (b, kvi[i, j], 0)),
+              pl.BlockSpec((1, block_kv, d),
+                           lambda b, i, j, kvi, kvc: (b, kvi[i, j], 0)),
+              pl.BlockSpec((1, block_q, block_kv),
+                           lambda b, i, j, kvi, kvc: (i * ma + j, 0, 0)),
+              pl.BlockSpec((1, block_q, d),
+                           lambda b, i, j, kvi, kvc: (b, i, 0)),
+              pl.BlockSpec((1, block_q, 1),
+                           lambda b, i, j, kvi, kvc: (b, i, 0)),
+              pl.BlockSpec((1, block_q, 1),
+                           lambda b, i, j, kvi, kvc: (b, i, 0)),
+          ],
+          out_specs=pl.BlockSpec((1, block_q, d),
+                                 lambda b, i, j, kvi, kvc: (b, i, 0)),
+          scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+      ),
+      out_shape=jax.ShapeDtypeStruct((bh, n_q_pad, d), q.dtype),
+      interpret=interpret,
+  )(kv_index, kv_count, q, k, v, mask_blocks, do, lse_b, delta_b)
+
+  q_index = jnp.asarray(block_map["q_index"])
+  q_count = jnp.asarray(block_map["q_count"])
+  mask_blocks_t = jnp.asarray(block_map["mask_blocks_t"])
+
+  dk, dv = pl.pallas_call(
+      functools.partial(_dkv_kernel, scale=scale, mat=mat),
+      grid_spec=pltpu.PrefetchScalarGridSpec(
+          num_scalar_prefetch=2,
+          grid=(bh, nkv, mat),
+          in_specs=[
+              pl.BlockSpec((1, block_q, d),
+                           lambda b, j, s, qi, qc: (b, qi[j, s], 0)),
+              pl.BlockSpec((1, block_kv, d),
+                           lambda b, j, s, qi, qc: (b, j, 0)),
+              pl.BlockSpec((1, block_kv, d),
+                           lambda b, j, s, qi, qc: (b, j, 0)),
+              pl.BlockSpec((1, block_q, block_kv),
+                           lambda b, j, s, qi, qc: (j * mat + s, 0, 0)),
+              pl.BlockSpec((1, block_q, d),
+                           lambda b, j, s, qi, qc: (b, qi[j, s], 0)),
+              pl.BlockSpec((1, block_q, 1),
+                           lambda b, j, s, qi, qc: (b, qi[j, s], 0)),
+              pl.BlockSpec((1, block_q, 1),
+                           lambda b, j, s, qi, qc: (b, qi[j, s], 0)),
+          ],
+          out_specs=[
+              pl.BlockSpec((1, block_kv, d),
+                           lambda b, j, s, qi, qc: (b, j, 0)),
+              pl.BlockSpec((1, block_kv, d),
+                           lambda b, j, s, qi, qc: (b, j, 0)),
+          ],
+          scratch_shapes=[
+              pltpu.VMEM((block_kv, d), jnp.float32),
+              pltpu.VMEM((block_kv, d), jnp.float32),
+          ],
+      ),
+      out_shape=(
+          jax.ShapeDtypeStruct((bh, n_kv_pad, d), k.dtype),
+          jax.ShapeDtypeStruct((bh, n_kv_pad, d), v.dtype),
+      ),
+      interpret=interpret,
+  )(q_index, q_count, q, k, v, mask_blocks_t, do, lse_b, delta_b)
+
+  return dq, dk, dv
+
+
+# ---------------------------------------------------------------------------
+# Public API.
+# ---------------------------------------------------------------------------
+
+
+class BlockSparseAttention:
+  """Callable block-sparse attention for a fixed static mask."""
+
+  def __init__(self, block_map: dict, block_q: int, block_kv: int,
+               interpret: Optional[bool] = None):
+    self._map = block_map
+    self._block_q = block_q
+    self._block_kv = block_kv
+    self._interpret = interpret
+
+  @classmethod
+  def from_mask(cls, mask: sp.csr_matrix, block_q: int = 256,
+                block_kv: int = 256, interpret: Optional[bool] = None
+                ) -> "BlockSparseAttention":
+    n = mask.shape[0]
+    block_q = min(block_q, _round_up(n, 128))
+    block_kv = min(block_kv, _round_up(n, 128))
+    return cls(_build_block_map(mask, block_q, block_kv), block_q, block_kv,
+               interpret)
+
+  @property
+  def fraction_visited(self) -> float:
+    """Fraction of all N² blocks actually computed (sparsity win)."""
+    m = self._map
+    return float(m["kv_count"].sum()) / (m["nq"] * m["nkv"])
+
+  def __call__(self, q, k, v, scale: Optional[float] = None):
+    """q,k,v: [batch, n, heads, head_dim] → [batch, n, heads, head_dim]."""
+    interpret = self._interpret
+    if interpret is None:
+      interpret = jax.default_backend() != "tpu"
+    if scale is None:
+      scale = q.shape[-1] ** -0.5
+    batch, n, heads, d = q.shape
+    m = self._map
+    if n != m["n"]:
+      raise ValueError(f"mask built for {m['n']} nodes, got {n}")
+
+    def to_bh(x, n_pad):
+      x = jnp.swapaxes(x, 1, 2).reshape(batch * heads, n, d)
+      return jnp.pad(x, ((0, 0), (0, n_pad - n), (0, 0)))
+
+    qb = to_bh(q, m["n_q_pad"])
+    kb = to_bh(k, m["n_kv_pad"])
+    vb = to_bh(v, m["n_kv_pad"])
+    ob = _attend(qb, kb, vb, self._map_static(), float(scale), interpret)
+    ob = ob[:, :n].reshape(batch, heads, n, d)
+    return jnp.swapaxes(ob, 1, 2)
+
+  def _map_static(self):
+    # Wrapped as a hashable tuple key for the custom-vjp closure.
+    return _MapHolder(self._map, self._block_q, self._block_kv)
+
+
+class _MapHolder:
+  """Hashable holder so the block map can be a static arg of custom_vjp."""
+
+  _counter = 0
+
+  def __init__(self, block_map, block_q, block_kv):
+    self.map = block_map
+    self.block_q = block_q
+    self.block_kv = block_kv
+    _MapHolder._counter += 1
+    self._id = _MapHolder._counter
+
+  def __hash__(self):
+    return hash((id(self.map), self.block_q, self.block_kv))
+
+  def __eq__(self, other):
+    return (isinstance(other, _MapHolder) and other.map is self.map
+            and other.block_q == self.block_q
+            and other.block_kv == self.block_kv)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _attend(q, k, v, holder, scale, interpret):
+  o, _ = _fwd(q, k, v, holder.map, holder.block_q, holder.block_kv, scale,
+              interpret)
+  return o
+
+
+def _attend_fwd(q, k, v, holder, scale, interpret):
+  o, lse = _fwd(q, k, v, holder.map, holder.block_q, holder.block_kv, scale,
+                interpret)
+  return o, (q, k, v, o, lse)
+
+
+def _attend_bwd(holder, scale, interpret, residuals, do):
+  q, k, v, o, lse = residuals
+  dq, dk, dv = _bwd(q, k, v, o, lse, do, holder.map, holder.block_q,
+                    holder.block_kv, scale, interpret)
+  return dq, dk, dv
+
+
+_attend.defvjp(_attend_fwd, _attend_bwd)
+
+
+def _round_up(x: int, m: int) -> int:
+  return ((x + m - 1) // m) * m
+
+
+def reference_masked_attention(q, k, v, mask, scale=None):
+  """Dense reference implementation for kernel validation.
+
+  q,k,v: [batch, n, heads, d]; mask: [n, n] bool.
+  """
+  if scale is None:
+    scale = q.shape[-1] ** -0.5
+  logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                      preferred_element_type=jnp.float32) * scale
+  logits = jnp.where(mask[None, None], logits, NEG_INF)
+  weights = jax.nn.softmax(logits, axis=-1)
+  return jnp.einsum("bhqk,bkhd->bqhd", weights.astype(v.dtype), v)

@@ -1,0 +1,103 @@
+"""Validates the Pallas block-sparse attention kernel against dense MHA."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.sparse as sp
+
+from graphcast_tpu.ops import splash
+
+
+def make_banded_mask(n, bandwidth, seed=0):
+  """Random banded-ish sparse mask with self edges (like RCM-permuted k-hop)."""
+  rng = np.random.RandomState(seed)
+  rows, cols = [], []
+  for i in range(n):
+    lo, hi = max(0, i - bandwidth), min(n, i + bandwidth + 1)
+    for j in range(lo, hi):
+      if i == j or rng.rand() < 0.6:
+        rows.append(i)
+        cols.append(j)
+  mask = sp.csr_matrix((np.ones(len(rows), bool), (rows, cols)),
+                       shape=(n, n))
+  return mask
+
+
+@pytest.mark.parametrize("n,bandwidth,bq,bkv", [
+    (512, 40, 128, 128),
+    (520, 64, 128, 128),   # n not a multiple of block size → padding path
+])
+def test_forward_matches_dense(n, bandwidth, bq, bkv):
+  mask = make_banded_mask(n, bandwidth)
+  attn = splash.BlockSparseAttention.from_mask(mask, block_q=bq, block_kv=bkv,
+                                               interpret=True)
+  assert attn.fraction_visited < 1.0
+  rng = jax.random.PRNGKey(0)
+  kq, kk, kv_ = jax.random.split(rng, 3)
+  shape = (2, n, 2, 128)  # batch=2, heads=2, head_dim=128
+  q = jax.random.normal(kq, shape, jnp.float32)
+  k = jax.random.normal(kk, shape, jnp.float32)
+  v = jax.random.normal(kv_, shape, jnp.float32)
+
+  got = attn(q, k, v)
+  want = splash.reference_masked_attention(
+      q, k, v, jnp.asarray(mask.toarray()))
+  np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                             rtol=2e-4, atol=2e-4)
+
+
+def test_gradients_match_dense():
+  n, bandwidth = 256, 32
+  mask = make_banded_mask(n, bandwidth, seed=1)
+  attn = splash.BlockSparseAttention.from_mask(mask, block_q=128,
+                                               block_kv=128, interpret=True)
+  rng = jax.random.PRNGKey(1)
+  kq, kk, kv_, kt = jax.random.split(rng, 4)
+  shape = (1, n, 1, 128)
+  q = jax.random.normal(kq, shape, jnp.float32)
+  k = jax.random.normal(kk, shape, jnp.float32)
+  v = jax.random.normal(kv_, shape, jnp.float32)
+  target = jax.random.normal(kt, shape, jnp.float32)
+
+  def loss_splash(q, k, v):
+    return jnp.sum((attn(q, k, v) - target) ** 2)
+
+  def loss_dense(q, k, v):
+    out = splash.reference_masked_attention(q, k, v,
+                                            jnp.asarray(mask.toarray()))
+    return jnp.sum((out - target) ** 2)
+
+  g_splash = jax.grad(loss_splash, argnums=(0, 1, 2))(q, k, v)
+  g_dense = jax.grad(loss_dense, argnums=(0, 1, 2))(q, k, v)
+  for gs, gd, name in zip(g_splash, g_dense, "qkv"):
+    np.testing.assert_allclose(np.asarray(gs), np.asarray(gd),
+                               rtol=2e-3, atol=2e-3,
+                               err_msg=f"d{name} mismatch")
+
+
+def test_bf16_path():
+  n = 256
+  mask = make_banded_mask(n, 48, seed=2)
+  attn = splash.BlockSparseAttention.from_mask(mask, block_q=128,
+                                               block_kv=128, interpret=True)
+  rng = jax.random.PRNGKey(2)
+  shape = (1, n, 2, 128)
+  q = jax.random.normal(rng, shape, jnp.bfloat16)
+  k = jax.random.normal(rng, shape, jnp.bfloat16)
+  v = jax.random.normal(rng, shape, jnp.bfloat16)
+  got = attn(q, k, v)
+  assert got.dtype == jnp.bfloat16
+  want = splash.reference_masked_attention(
+      q.astype(jnp.float32), k.astype(jnp.float32), v.astype(jnp.float32),
+      jnp.asarray(mask.toarray()))
+  np.testing.assert_allclose(np.asarray(got, np.float32), np.asarray(want),
+                             rtol=0.05, atol=0.05)
+
+
+def test_block_map_sparsity():
+  mask = make_banded_mask(1024, 64)
+  attn = splash.BlockSparseAttention.from_mask(mask, block_q=128,
+                                               block_kv=128)
+  # Bandwidth 64, blocks 128 → ≤ 3 active kv blocks per q block of 8 total.
+  assert attn.fraction_visited <= 3 / 8 + 1e-6
