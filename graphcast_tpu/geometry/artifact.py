@@ -73,6 +73,7 @@ def build_artifact(
     radius_query_fraction_edge_length: float = 0.6,
     mesh2grid_edge_normalization_factor: Optional[float] = None,
     multimesh: bool = True,
+    permute_banded: bool = False,
     cache_dir: Optional[str] = None,
 ) -> GridMeshArtifact:
   """Builds (or loads from cache) the full graph artifact.
@@ -87,21 +88,30 @@ def build_artifact(
     multimesh: if True the processor edge set is the union over all
       refinement levels (GraphCast); if False only the finest level
       (GenCast denoiser, denoiser.py:285-291).
+    permute_banded: if True, reorder the finest mesh's vertices with
+      Reverse-Cuthill-McKee so its adjacency matrix is banded — required by
+      the block-sparse attention processor (reference: denoiser.py:833-851).
+      Only valid with multimesh=False.
     cache_dir: disk cache directory; default env GRAPHCAST_TPU_CACHE or
       ~/.cache/graphcast_tpu. Pass "" to disable caching.
   """
   grid_lat = np.asarray(grid_lat, dtype=np.float32)
   grid_lon = np.asarray(grid_lon, dtype=np.float32)
 
+  if permute_banded and multimesh:
+    raise ValueError("permute_banded requires multimesh=False")
+
   cache_path = _cache_path(
       cache_dir, grid_lat, grid_lon, mesh_size,
       radius_query_fraction_edge_length, mesh2grid_edge_normalization_factor,
-      multimesh)
+      (multimesh, permute_banded))
   if cache_path is not None and cache_path.exists():
     return _load(cache_path, mesh_size, grid_lat, grid_lon)
 
   meshes = icosahedron.get_mesh_hierarchy(mesh_size)
   finest = meshes[-1]
+  if permute_banded:
+    finest = permute_mesh_to_banded(finest)
   mesh_phi, mesh_theta = features.cartesian_to_spherical(
       finest.vertices[:, 0], finest.vertices[:, 1], finest.vertices[:, 2])
   mesh_lat, mesh_lon = features.spherical_to_lat_lon(mesh_phi, mesh_theta)
@@ -159,6 +169,20 @@ def build_artifact(
   if cache_path is not None:
     _save(cache_path, artifact)
   return artifact
+
+
+def permute_mesh_to_banded(
+    mesh: icosahedron.TriangularMesh) -> icosahedron.TriangularMesh:
+  """RCM-reorders a mesh's vertices so adjacency is banded
+  (reference: denoiser.py:833-851)."""
+  senders, receivers = icosahedron.faces_to_edges(mesh.faces)
+  num_nodes = mesh.vertices.shape[0]
+  perm = rcm_permutation(senders, receivers, num_nodes)
+  inverse = np.empty(num_nodes, dtype=np.int32)
+  inverse[perm] = np.arange(num_nodes, dtype=np.int32)
+  return icosahedron.TriangularMesh(
+      vertices=mesh.vertices[perm],
+      faces=inverse[mesh.faces].astype(np.int32))
 
 
 def rcm_permutation(senders: np.ndarray, receivers: np.ndarray,

@@ -1,0 +1,336 @@
+"""GenCast denoiser (reference: graphcast/denoiser.py).
+
+A GraphCast-shaped encode-process-decode architecture specialized for
+denoising diffusion:
+- the processor is a sparse transformer over the (single, finest,
+  RCM-banded) mesh instead of a multi-mesh GNN;
+- every LayerNorm is conditioned on an encoding of the diffusion noise
+  level (norm conditioning);
+- noisy targets enter as additional forcings; the noise-level encoding
+  enters as a [batch, channels] input that is split out as the global
+  conditioning vector.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from graphcast_tpu.fields import Field, FieldSet, from_stacked, to_stacked
+from graphcast_tpu.geometry import artifact as artifact_lib
+from graphcast_tpu.models.sparse_transformer import SparseTransformerConfig
+from graphcast_tpu.models.transformer import MeshTransformer
+from graphcast_tpu.nn import core
+from graphcast_tpu.nn.deep_gnn import DeepGraphNet
+from graphcast_tpu.nn.typed_graph import (
+    Context, EdgeSet, EdgeSetKey, EdgesIndices, NodeSet, TypedGraph)
+
+
+def fourier_features(values, base_period: float, num_frequencies: int):
+  """sin/cos features at integer multiples of 1/base_period
+  (reference: model_utils.py:728-757)."""
+  freqs = np.arange(1, num_frequencies + 1) / base_period
+  angular = jnp.asarray(2 * np.pi * freqs, values.dtype)
+  phases = values[..., None] * angular
+  return jnp.concatenate([jnp.cos(phases), jnp.sin(phases)], axis=-1)
+
+
+@dataclasses.dataclass(frozen=True, eq=True)
+class NoiseEncoderConfig:
+  """Noise-level encoding config (reference: denoiser.py:100-123)."""
+  apply_log_first: bool = True
+  base_period: float = 16.0
+  num_frequencies: int = 32
+  output_sizes: tuple[int, ...] = (32, 16)
+
+
+@dataclasses.dataclass(frozen=True, eq=True)
+class DenoiserArchitectureConfig:
+  """Reference: denoiser.py:155-196."""
+  sparse_transformer_config: SparseTransformerConfig
+  mesh_size: int
+  latent_size: int = 512
+  hidden_layers: int = 1
+  radius_query_fraction_edge_length: float = 0.6
+  norm_conditioning_features: tuple[str, ...] = ("noise_level_encodings",)
+  grid2mesh_aggregate_normalization: Optional[float] = None
+  node_output_size: Optional[int] = None
+
+
+class FourierFeaturesMLP:
+  """MLP over (log-)Fourier features of a scalar
+  (reference: denoiser.py:41-97). Uniform variance-scaling(2.0) init."""
+
+  def __init__(self, cfg: NoiseEncoderConfig):
+    self.cfg = cfg
+    sizes = [2 * cfg.num_frequencies] + list(cfg.output_sizes)
+    self._layer_sizes = list(zip(sizes[:-1], sizes[1:]))
+
+  @property
+  def output_size(self) -> int:
+    return self.cfg.output_sizes[-1]
+
+  def init(self, key) -> core.Params:
+    params = {}
+    keys = jax.random.split(key, len(self._layer_sizes))
+    for i, ((fan_in, fan_out), k) in enumerate(zip(self._layer_sizes, keys)):
+      limit = math.sqrt(3.0 * 2.0 / fan_in)  # VarianceScaling(2.0, uniform)
+      params[f"linear_{i}"] = {
+          "w": jax.random.uniform(k, (fan_in, fan_out), jnp.float32,
+                                  -limit, limit),
+          "b": jnp.zeros((fan_out,), jnp.float32),
+      }
+    return params
+
+  def apply(self, params: core.Params, values):
+    cfg = self.cfg
+    if cfg.apply_log_first:
+      values = jnp.log(values)
+    x = fourier_features(values, cfg.base_period, cfg.num_frequencies)
+    for i in range(len(self._layer_sizes)):
+      p = params[f"linear_{i}"]
+      x = x @ p["w"].astype(x.dtype) + p["b"].astype(x.dtype)
+      if i + 1 < len(self._layer_sizes):
+        x = jax.nn.gelu(x)
+    return x
+
+
+def _add_batch_second_axis(data, batch_size):
+  return jnp.broadcast_to(data[:, None, :],
+                          (data.shape[0], batch_size, data.shape[-1]))
+
+
+class DenoiserArchitecture:
+  """Encode (GNN) → process (sparse transformer) → decode (GNN)
+  (reference: denoiser.py:248-731)."""
+
+  def __init__(self, cfg: DenoiserArchitectureConfig,
+               cache_dir: Optional[str] = None,
+               interpret_attention: Optional[bool] = None):
+    self._cfg = cfg
+    self._cache_dir = cache_dir
+    self._interpret_attention = interpret_attention
+    self._artifact: Optional[artifact_lib.GridMeshArtifact] = None
+    self._mesh_transformer: Optional[MeshTransformer] = None
+
+    latent = cfg.latent_size
+    if cfg.node_output_size is None:
+      raise ValueError("node_output_size must be set (by GenCast)")
+
+    self._grid2mesh_gnn = DeepGraphNet(
+        node_latent_size={"mesh_nodes": latent, "grid_nodes": latent},
+        edge_latent_size={"grid2mesh": latent},
+        mlp_hidden_size=latent,
+        mlp_num_hidden_layers=cfg.hidden_layers,
+        num_message_passing_steps=1,
+        use_layer_norm=True,
+        use_norm_conditioning=True,
+        norm_conditioning_size=None,  # set at init time
+        activation="swish",
+        f32_aggregation=True,
+        aggregate_normalization=cfg.grid2mesh_aggregate_normalization)
+
+    self._mesh2grid_gnn = DeepGraphNet(
+        node_output_size={"grid_nodes": cfg.node_output_size},
+        embed_nodes=False,
+        node_latent_size={"mesh_nodes": latent, "grid_nodes": latent},
+        edge_latent_size={"mesh2grid": latent},
+        mlp_hidden_size=latent,
+        mlp_num_hidden_layers=cfg.hidden_layers,
+        num_message_passing_steps=1,
+        use_layer_norm=True,
+        use_norm_conditioning=True,
+        norm_conditioning_size=None,
+        activation="swish",
+        f32_aggregation=False)
+
+  def _maybe_init(self, inputs: FieldSet, cond_size: int):
+    if self._artifact is None:
+      coords = inputs.coords
+      self._artifact = artifact_lib.build_artifact(
+          grid_lat=coords["lat"],
+          grid_lon=coords["lon"],
+          mesh_size=self._cfg.mesh_size,
+          radius_query_fraction_edge_length=(
+              self._cfg.radius_query_fraction_edge_length),
+          multimesh=False,
+          permute_banded=True,
+          cache_dir=self._cache_dir)
+      art = self._artifact
+      self._mesh_transformer = MeshTransformer(
+          art.mesh.senders, art.mesh.receivers, art.num_mesh_nodes,
+          self._cfg.sparse_transformer_config,
+          interpret=self._interpret_attention)
+    if self._grid2mesh_gnn.norm_conditioning_size is None:
+      self._grid2mesh_gnn.norm_conditioning_size = cond_size
+      self._mesh2grid_gnn.norm_conditioning_size = cond_size
+
+  # --- graphs (same assembly pattern as GraphCast) ---
+
+  def _grid2mesh_graph(self, grid_node_features) -> TypedGraph:
+    art = self._artifact
+    batch = grid_node_features.shape[1]
+    dtype = grid_node_features.dtype
+    grid_struct = _add_batch_second_axis(
+        jnp.asarray(art.grid_node_features, dtype), batch)
+    mesh_struct = _add_batch_second_axis(
+        jnp.asarray(art.mesh_node_features, dtype), batch)
+    dummy = jnp.zeros((art.num_mesh_nodes,) + grid_node_features.shape[1:],
+                      dtype)
+    return TypedGraph(
+        context=Context(features=()),
+        nodes={
+            "grid_nodes": NodeSet(
+                art.num_grid_nodes,
+                jnp.concatenate([grid_node_features, grid_struct], axis=-1)),
+            "mesh_nodes": NodeSet(
+                art.num_mesh_nodes,
+                jnp.concatenate([dummy, mesh_struct], axis=-1)),
+        },
+        edges={EdgeSetKey("grid2mesh", ("grid_nodes", "mesh_nodes")): EdgeSet(
+            indices=EdgesIndices(jnp.asarray(art.grid2mesh.senders),
+                                 jnp.asarray(art.grid2mesh.receivers)),
+            features=_add_batch_second_axis(
+                jnp.asarray(art.grid2mesh.features, dtype), batch))})
+
+  def _mesh2grid_graph(self, latent_mesh_nodes, latent_grid_nodes
+                       ) -> TypedGraph:
+    art = self._artifact
+    batch = latent_mesh_nodes.shape[1]
+    dtype = latent_mesh_nodes.dtype
+    return TypedGraph(
+        context=Context(features=()),
+        nodes={
+            "grid_nodes": NodeSet(art.num_grid_nodes, latent_grid_nodes),
+            "mesh_nodes": NodeSet(art.num_mesh_nodes, latent_mesh_nodes),
+        },
+        edges={EdgeSetKey("mesh2grid", ("mesh_nodes", "grid_nodes")): EdgeSet(
+            indices=EdgesIndices(jnp.asarray(art.mesh2grid.senders),
+                                 jnp.asarray(art.mesh2grid.receivers)),
+            features=_add_batch_second_axis(
+                jnp.asarray(art.mesh2grid.features, dtype), batch))})
+
+  # --- features ---
+
+  def _split_features_and_conditioning(self, inputs: FieldSet,
+                                       forcings: FieldSet):
+    """Reference: denoiser.py:754-791."""
+    cond_names = list(self._cfg.norm_conditioning_features)
+    cond_fs = inputs.select([n for n in cond_names if n in inputs])
+    inputs = inputs.drop(cond_names)
+    if len(cond_fs):
+      for name in cond_fs.var_names:
+        if {"lat", "lon"} & set(cond_fs[name].dims):
+          raise ValueError("lat/lon conditioning features unsupported")
+      global_norm_conditioning = to_stacked(cond_fs, preserved_dims=("batch",))
+    else:
+      global_norm_conditioning = None
+
+    stacked = jnp.concatenate(
+        [to_stacked(inputs), to_stacked(forcings)], axis=-1)
+    stacked = jnp.transpose(stacked, (1, 2, 0, 3))
+    grid_node_features = stacked.reshape((-1,) + stacked.shape[2:])
+    return grid_node_features, global_norm_conditioning
+
+  def _outputs_to_prediction(self, grid_node_outputs, targets_template):
+    art = self._artifact
+    grid_shape = (art.grid_lat.shape[0], art.grid_lon.shape[0])
+    data = grid_node_outputs.reshape(grid_shape + grid_node_outputs.shape[1:])
+    data = jnp.transpose(data, (2, 0, 1, 3))
+    return from_stacked(data, targets_template)
+
+  # --- init / apply ---
+
+  def init(self, rng, inputs: FieldSet, targets_template: FieldSet,
+           forcings: FieldSet) -> core.Params:
+    grid_node_features, cond = self._split_features_and_conditioning(
+        inputs, forcings)
+    self._maybe_init(inputs, cond.shape[-1])
+    k1, k2, k3 = jax.random.split(rng, 3)
+    params = {}
+    g2m = self._grid2mesh_graph(grid_node_features)
+    params["grid2mesh_gnn"] = self._grid2mesh_gnn.init(k1, g2m)
+    params["mesh_transformer"] = self._mesh_transformer.init(
+        k2, cond.shape[-1])
+    batch = grid_node_features.shape[1]
+    latent = self._cfg.latent_size
+    dtype = grid_node_features.dtype
+    mesh_l = jnp.zeros((self._artifact.num_mesh_nodes, batch, latent), dtype)
+    grid_l = jnp.zeros((self._artifact.num_grid_nodes, batch, latent), dtype)
+    params["mesh2grid_gnn"] = self._mesh2grid_gnn.init(
+        k3, self._mesh2grid_graph(mesh_l, grid_l))
+    return params
+
+  def apply(self, params: core.Params, inputs: FieldSet,
+            targets_template: FieldSet, forcings: FieldSet) -> FieldSet:
+    grid_node_features, cond = self._split_features_and_conditioning(
+        inputs, forcings)
+    self._maybe_init(inputs, cond.shape[-1])
+
+    g2m_out = self._grid2mesh_gnn.apply(
+        params["grid2mesh_gnn"], self._grid2mesh_graph(grid_node_features),
+        global_norm_conditioning=cond)
+    latent_mesh_nodes = g2m_out.nodes["mesh_nodes"].features
+    latent_grid_nodes = g2m_out.nodes["grid_nodes"].features
+
+    updated_mesh = self._mesh_transformer.apply(
+        params["mesh_transformer"], latent_mesh_nodes, cond)
+
+    m2g_out = self._mesh2grid_gnn.apply(
+        params["mesh2grid_gnn"],
+        self._mesh2grid_graph(updated_mesh, latent_grid_nodes),
+        global_norm_conditioning=cond)
+    return self._outputs_to_prediction(
+        m2g_out.nodes["grid_nodes"].features, targets_template)
+
+
+class Denoiser:
+  """Adds noise-level encodings and noisy-target forcings around the
+  architecture (reference: denoiser.py:197-246)."""
+
+  def __init__(self, noise_encoder_config: Optional[NoiseEncoderConfig],
+               architecture_config: DenoiserArchitectureConfig,
+               cache_dir: Optional[str] = None,
+               interpret_attention: Optional[bool] = None):
+    self._architecture = DenoiserArchitecture(
+        architecture_config, cache_dir=cache_dir,
+        interpret_attention=interpret_attention)
+    self._noise_encoder = FourierFeaturesMLP(
+        noise_encoder_config or NoiseEncoderConfig())
+
+  def _assemble(self, params, inputs: FieldSet, noisy_targets: FieldSet,
+                noise_levels, forcings: Optional[FieldSet]):
+    if noise_levels.ndim != 1:
+      raise ValueError("noise_levels expected to be shape (batch,)")
+    if forcings is None or not len(forcings):
+      forcings = noisy_targets
+    else:
+      forcings = FieldSet.merge([forcings, noisy_targets])
+    encodings = self._noise_encoder.apply(
+        params["noise_encoder"],
+        noise_levels.astype(noisy_targets.dtype() or jnp.float32))
+    inputs = FieldSet.merge([inputs, FieldSet({
+        "noise_level_encodings": Field(
+            encodings, ("batch", "noise_level_encoding_channels"))})])
+    return inputs, forcings
+
+  def init(self, rng, inputs, noisy_targets, noise_levels, forcings=None):
+    k1, k2 = jax.random.split(rng)
+    params = {"noise_encoder": self._noise_encoder.init(k1)}
+    all_inputs, all_forcings = self._assemble(
+        params, inputs, noisy_targets, noise_levels, forcings)
+    params["architecture"] = self._architecture.init(
+        k2, all_inputs, noisy_targets, all_forcings)
+    return params
+
+  def apply(self, params, inputs: FieldSet, noisy_targets: FieldSet,
+            noise_levels, forcings: Optional[FieldSet] = None) -> FieldSet:
+    all_inputs, all_forcings = self._assemble(
+        params, inputs, noisy_targets, noise_levels, forcings)
+    return self._architecture.apply(
+        params["architecture"], all_inputs, noisy_targets, all_forcings)

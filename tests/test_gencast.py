@@ -1,0 +1,135 @@
+"""End-to-end GenCast tests: denoiser, preconditioning, sampler, loss."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from graphcast_tpu.data import synthetic
+from graphcast_tpu.models import configs, gencast
+from graphcast_tpu.models.denoiser import (
+    DenoiserArchitectureConfig, NoiseEncoderConfig)
+from graphcast_tpu.models.sparse_transformer import SparseTransformerConfig
+from graphcast_tpu.wrappers import InputsAndResiduals, NaNCleaner
+
+TINY_TASK = configs.TaskConfig(
+    input_variables=(
+        "2m_temperature", "temperature", "sea_surface_temperature",
+        "day_progress_sin", "land_sea_mask"),
+    target_variables=("2m_temperature", "temperature",
+                      "sea_surface_temperature"),
+    forcing_variables=("day_progress_sin",),
+    pressure_levels=(500, 850),
+    input_duration="24h",
+)
+
+
+def tiny_gencast(attention_type="mha", num_noise_levels=4):
+  st_cfg = SparseTransformerConfig(
+      attention_k_hop=2, d_model=16, num_layers=2, num_heads=2,
+      attention_type=attention_type, ffw_hidden=32,
+      block_q=64, block_kv=64)
+  arch_cfg = DenoiserArchitectureConfig(
+      sparse_transformer_config=st_cfg, mesh_size=1, latent_size=16,
+      hidden_layers=1)
+  noise_enc = NoiseEncoderConfig(num_frequencies=8, output_sizes=(16, 8))
+  sampler_cfg = gencast.SamplerConfig(num_noise_levels=num_noise_levels)
+  return gencast.GenCast(
+      task_config=TINY_TASK,
+      denoiser_architecture_config=arch_cfg,
+      sampler_config=sampler_cfg,
+      noise_config=gencast.NoiseConfig(),
+      noise_encoder_config=noise_enc,
+      cache_dir="", interpret_attention=True)
+
+
+def make_batch(batch=2):
+  return synthetic.make_example_batch(
+      TINY_TASK, resolution=30.0, batch=batch, num_target_times=1,
+      time_step_hours=12)
+
+
+@pytest.mark.parametrize("attention_type", ["mha", "triblockdiag_mha"])
+def test_gencast_sample_shapes(attention_type):
+  predictor = tiny_gencast(attention_type)
+  inputs, targets, forcings = make_batch()
+  rng = jax.random.PRNGKey(0)
+  params = predictor.init(rng, inputs, targets, forcings)
+  sample = jax.jit(
+      lambda p, r: predictor(p, r, inputs, targets, forcings))(params, rng)
+  assert sample.var_names == targets.var_names
+  for n in targets.var_names:
+    assert sample[n].shape == targets[n].shape
+    assert np.isfinite(np.asarray(sample[n].data)).all()
+
+
+def test_gencast_samples_differ_across_rngs():
+  predictor = tiny_gencast()
+  inputs, targets, forcings = make_batch(batch=1)
+  rng = jax.random.PRNGKey(0)
+  params = predictor.init(rng, inputs, targets, forcings)
+  fn = jax.jit(lambda p, r: predictor(p, r, inputs, targets, forcings))
+  s1 = fn(params, jax.random.PRNGKey(1))
+  s2 = fn(params, jax.random.PRNGKey(2))
+  assert not np.allclose(np.asarray(s1.data("temperature")),
+                         np.asarray(s2.data("temperature")))
+
+
+def test_gencast_loss_and_grads():
+  predictor = tiny_gencast()
+  inputs, targets, forcings = make_batch()
+  rng = jax.random.PRNGKey(0)
+  params = predictor.init(rng, inputs, targets, forcings)
+
+  def loss_fn(p, r):
+    loss, diagnostics = predictor.loss(p, r, inputs, targets, forcings)
+    return jnp.mean(loss), diagnostics
+
+  (loss, diag), grads = jax.jit(jax.value_and_grad(
+      loss_fn, has_aux=True))(params, rng)
+  assert np.isfinite(float(loss))
+  assert "sea_surface_temperature" in diag
+  leaves = jax.tree_util.tree_leaves(grads)
+  assert all(np.isfinite(np.asarray(g)).all() for g in leaves)
+  # Transformer blocks get gradients.
+  g_attn = grads["architecture"]["mesh_transformer"]["block_00"][
+      "mha_proj_q"]["w"]
+  assert float(jnp.abs(g_attn).sum()) > 0
+
+
+def test_preconditioning_identities():
+  """c_skip + c_out·c_in consistency: at σ→0, D(x) ≈ x (identity)."""
+  g = gencast.GenCast
+  sigma = jnp.asarray([1e-4])
+  np.testing.assert_allclose(float(g._c_skip(sigma)[0]), 1.0, atol=1e-6)
+  np.testing.assert_allclose(float(g._c_out(sigma)[0]), 1e-4, rtol=1e-3)
+  np.testing.assert_allclose(float(g._c_in(sigma)[0]), 1.0, atol=1e-6)
+  # At large σ, c_in·σ ≈ 1 (inputs normalized to unit variance).
+  sigma = jnp.asarray([80.0])
+  np.testing.assert_allclose(float(g._c_in(sigma)[0]) * 80.0, 1.0, rtol=1e-3)
+
+
+def test_gencast_with_wrapper_stack():
+  """Full inference stack: NaNCleaner(InputsAndResiduals(GenCast))."""
+  predictor = tiny_gencast()
+  stddev, mean, diffs = synthetic.make_norm_stats(TINY_TASK)
+  stack = NaNCleaner(
+      InputsAndResiduals(predictor, stddev_by_level=stddev,
+                         mean_by_level=mean, diffs_stddev_by_level=diffs),
+      var_to_clean="sea_surface_temperature", fill_value=0.0)
+  inputs, targets, forcings = make_batch(batch=1)
+  # Introduce NaNs into SST inputs (land mask).
+  sst = np.asarray(inputs.data("sea_surface_temperature")).copy()
+  sst[..., :2] = np.nan
+  inputs = inputs.replace_data("sea_surface_temperature", sst)
+
+  rng = jax.random.PRNGKey(0)
+  params = stack.init(rng, inputs, targets, forcings)
+  preds = stack(params, rng, inputs, targets, forcings)
+  sst_pred = np.asarray(preds.data("sea_surface_temperature"))
+  # NaN mask reintroduced on predictions.
+  assert np.isnan(sst_pred[..., :2]).all()
+  assert np.isfinite(sst_pred[..., 2:]).all()
+  assert np.isfinite(np.asarray(preds.data("temperature"))).all()
