@@ -116,6 +116,51 @@ def chunked_prediction(
   return out
 
 
+def tile_batch(fs: FieldSet, factor: int) -> FieldSet:
+  """Repeats every batched variable along the batch axis (ensemble fan-out)."""
+  def fn(name, f):
+    if "batch" not in f.dims:
+      return f
+    axis = f.dims.index("batch")
+    import jax.numpy as jnp
+    return type(f)(jnp.repeat(f.data, factor, axis=axis), f.dims)
+  return fs.map(fn)
+
+
+def chunked_ensemble_prediction(
+    predictor_fn: PredictorFn,
+    rng,
+    inputs: FieldSet,
+    targets_template: FieldSet,
+    forcings: FieldSet,
+    num_samples: int,
+    mesh=None,
+    mesh_axis: str = "batch",
+    num_steps_per_chunk: int = 1,
+    pull_to_host: bool = True,
+) -> FieldSet:
+  """Ensemble inference: N samples, optionally sharded over a device Mesh.
+
+  TPU-native replacement for the reference's pmap-based
+  ``chunked_prediction_generator_multiple_runs`` (rollout.py:78-202): the
+  ensemble is a batch axis; each batch element receives independent noise
+  inside the probabilistic predictor, and the batch axis is sharded across
+  the mesh's ``mesh_axis`` so members run SPMD over ICI. Returns predictions
+  with batch size ``input_batch * num_samples`` (sample-major per input).
+  """
+  inputs = tile_batch(inputs, num_samples)
+  targets_template = tile_batch(targets_template, num_samples)
+  forcings = tile_batch(forcings, num_samples)
+  if mesh is not None:
+    from graphcast_tpu.parallel import sharding as sharding_lib
+    inputs, targets_template, forcings = sharding_lib.shard_fieldsets(
+        mesh, inputs, targets_template, forcings,
+        dim_to_axis={"batch": mesh_axis})
+  return chunked_prediction(
+      predictor_fn, rng, inputs, targets_template, forcings,
+      num_steps_per_chunk=num_steps_per_chunk, pull_to_host=pull_to_host)
+
+
 def extend_targets_template(targets_template: FieldSet,
                             required_num_steps: int) -> FieldSet:
   """Extends a template along time to `required_num_steps`

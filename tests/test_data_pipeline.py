@@ -1,0 +1,146 @@
+"""Tests: derived vars, TISR, input/target/forcing extraction
+(modeled on data_utils_test.py and solar_radiation_test.py)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from graphcast_tpu.data import era5, solar_radiation
+from graphcast_tpu.fields import Field, FieldSet
+
+
+def make_timeseries(batch=1, nt=6, nlat=7, nlon=8, nlev=3, start="2020-01-01"):
+  rng = np.random.RandomState(0)
+  lat = np.linspace(-90, 90, nlat)
+  lon = np.arange(0, 360, 360 / nlon)
+  levels = np.array([500, 700, 850])[:nlev]
+  step = np.timedelta64(6, "h")
+  time = np.arange(nt) * step
+  datetimes = (np.datetime64(start) + time)[None].repeat(batch, axis=0)
+  fs = FieldSet(
+      {
+          "temperature": Field(
+              rng.randn(batch, nt, nlev, nlat, nlon).astype(np.float32),
+              ("batch", "time", "level", "lat", "lon")),
+          "2m_temperature": Field(
+              rng.randn(batch, nt, nlat, nlon).astype(np.float32),
+              ("batch", "time", "lat", "lon")),
+          "land_sea_mask": Field(
+              rng.randn(nlat, nlon).astype(np.float32), ("lat", "lon")),
+      },
+      coords={"lat": lat, "lon": lon, "level": levels,
+              "time": time.astype("timedelta64[ns]"),
+              "datetime": datetimes})
+  return fs
+
+
+def test_year_progress_boundaries():
+  # Epoch start: 0 progress.
+  assert era5.get_year_progress(np.array([0.0]))[0] == pytest.approx(0.0)
+  # One average year later: back to ~0.
+  one_year = era5.AVG_SEC_PER_YEAR
+  assert era5.get_year_progress(np.array([one_year]))[0] == pytest.approx(
+      0.0, abs=1e-5)
+  assert era5.get_year_progress(np.array([one_year / 2]))[0] == pytest.approx(
+      0.5, abs=1e-5)
+
+
+def test_day_progress_longitude_phase():
+  secs = np.array([0.0])  # midnight UTC
+  lons = np.array([0.0, 90.0, 180.0, 270.0])
+  dp = era5.get_day_progress(secs, lons)
+  np.testing.assert_allclose(dp[0], [0.0, 0.25, 0.5, 0.75], atol=1e-6)
+  # Half a day later at Greenwich.
+  dp2 = era5.get_day_progress(np.array([43200.0]), np.array([0.0]))
+  assert dp2[0, 0] == pytest.approx(0.5)
+
+
+def test_add_derived_vars():
+  fs = make_timeseries()
+  out = era5.add_derived_vars(fs)
+  for name in ("year_progress_sin", "year_progress_cos",
+               "day_progress_sin", "day_progress_cos"):
+    assert name in out
+  assert out["day_progress_sin"].dims == ("batch", "time", "lon")
+  assert out["year_progress_sin"].dims == ("batch", "time")
+  s = np.asarray(out.data("day_progress_sin"))
+  c = np.asarray(out.data("day_progress_cos"))
+  np.testing.assert_allclose(s ** 2 + c ** 2, 1.0, atol=1e-5)
+  # Existing variables not overridden.
+  out2 = era5.add_derived_vars(out)
+  np.testing.assert_array_equal(out2.data("day_progress_sin"), s)
+
+
+def test_extract_inputs_targets_forcings():
+  fs = era5.add_derived_vars(make_timeseries(nt=6))
+  inputs, targets, forcings = era5.extract_inputs_targets_forcings(
+      fs,
+      input_variables=("2m_temperature", "temperature", "land_sea_mask",
+                       "day_progress_sin"),
+      target_variables=("2m_temperature", "temperature"),
+      forcing_variables=("day_progress_sin", "day_progress_cos"),
+      pressure_levels=(500, 850),
+      input_duration="12h",
+      target_lead_times=slice("6h", "18h"))
+  assert inputs.sizes["time"] == 2
+  assert targets.sizes["time"] == 3
+  assert forcings.sizes["time"] == 3
+  assert inputs["temperature"].sizes["level"] == 2
+  # Input time coords end at 0 (lead-time convention).
+  t_in = pd.to_timedelta(inputs.coords["time"])
+  assert t_in[-1] == pd.Timedelta(0)
+  t_tgt = pd.to_timedelta(targets.coords["time"])
+  assert t_tgt[0] == pd.Timedelta("6h")
+  assert t_tgt[-1] == pd.Timedelta("18h")
+  # Forcings come from the target timesteps.
+  assert forcings.var_names == ("day_progress_cos", "day_progress_sin")
+  # Static variable kept without time dim.
+  assert inputs["land_sea_mask"].dims == ("lat", "lon")
+
+
+def test_single_lead_time():
+  fs = make_timeseries(nt=4)
+  inputs, targets = era5.extract_input_target_times(
+      fs, input_duration="12h", target_lead_times="6h")
+  assert targets.sizes["time"] == 1
+  assert inputs.sizes["time"] == 2
+
+
+def test_tisr_physical_sanity():
+  """TISR: zero at night, positive in daytime, correct magnitude."""
+  lat = np.array([0.0])  # equator
+  lon = np.array([0.0, 180.0])
+  # Midday UTC on the equinox: sun roughly over lon 0.
+  tisr = solar_radiation.get_toa_incident_solar_radiation(
+      [pd.Timestamp("2020-03-20 12:00")], lat, lon,
+      num_integration_bins=90)
+  day_side = tisr[0, 0, 0]
+  night_side = tisr[0, 0, 1]
+  # 1h integral of ~1361 W/m² at near-normal incidence ≈ 4.9e6 J/m².
+  assert 3.5e6 < day_side < 5.1e6, day_side
+  assert night_side < 1e5, night_side
+
+
+def test_tisr_matches_era5_units_over_day():
+  """Sum of 24 hourly integrals ≈ daily insolation at the equator (~37.8 MJ
+  on equinox: S0·day/π for normal-incidence fraction)."""
+  lat = np.array([0.0])
+  lon = np.array([0.0])
+  stamps = [pd.Timestamp("2020-03-20") + pd.Timedelta(hours=h + 1)
+            for h in range(24)]
+  tisr = solar_radiation.get_toa_incident_solar_radiation(
+      stamps, lat, lon, num_integration_bins=60)
+  total = tisr.sum()
+  expected = 1361.0 * 86400 / np.pi  # ≈ 37.4 MJ
+  np.testing.assert_allclose(total, expected, rtol=0.05)
+
+
+def test_add_tisr_var():
+  fs = make_timeseries(nt=2, nlat=5, nlon=6)
+  out = era5.add_tisr_var(fs)
+  assert "toa_incident_solar_radiation" in out
+  assert out["toa_incident_solar_radiation"].dims == (
+      "batch", "time", "lat", "lon")
+  data = np.asarray(out.data("toa_incident_solar_radiation"))
+  assert (data >= 0).all()
+  assert data.max() > 1e5  # some daytime cell
