@@ -212,6 +212,9 @@ class MLPWithNorm:
   def apply(self, params: Params, *inputs, global_norm_conditioning=None):
     x = inputs[0] if len(inputs) == 1 else jnp.concatenate(inputs, axis=-1)
     x = self._mlp.apply(params["mlp"], x)
+    return self._norm(params, x, global_norm_conditioning)
+
+  def _norm(self, params, x, global_norm_conditioning):
     if self.use_layer_norm:
       x = self._ln.apply(params.get("layer_norm", {}), x)
     if self.use_norm_conditioning:
@@ -222,3 +225,31 @@ class MLPWithNorm:
     elif global_norm_conditioning is not None:
       raise ValueError("global_norm_conditioning passed but not enabled")
     return x
+
+  def apply_factored_edge_update(self, params: Params, edge_feats,
+                                 sender_full, receiver_full, senders,
+                                 receivers, global_norm_conditioning=None):
+    """Edge update with the first linear layer algebraically factored.
+
+    W₁·concat(e, n_s, n_r) = W₁ᵉ·e + (W₁ˢ·N)[senders] + (W₁ʳ·N)[receivers]:
+    the node contributions are projected once per *node* (N rows) instead of
+    once per *edge* (E rows, E ≈ 6N on the icosahedral mesh), before the
+    gather. Exactly equivalent in exact arithmetic; saves ~2.4× of the
+    first-layer FLOPs on the multi-mesh and gathers hidden-size rows.
+    """
+    p0 = params["mlp"]["linear_0"]
+    w = p0["w"].astype(edge_feats.dtype)
+    b = p0["b"].astype(edge_feats.dtype)
+    le = edge_feats.shape[-1]
+    ls = sender_full.shape[-1]
+    we, ws, wr = w[:le], w[le:le + ls], w[le + ls:]
+    x = (edge_feats @ we
+         + (sender_full @ ws)[senders]
+         + (receiver_full @ wr)[receivers]
+         + b)
+    act = get_activation(self.activation)
+    layers = self._mlp._layers()
+    for i, layer in enumerate(layers[1:], start=1):
+      x = act(x)
+      x = layer.apply(params["mlp"][f"linear_{i}"], x)
+    return self._norm(params, x, global_norm_conditioning)

@@ -41,11 +41,17 @@ def apply_graph_network(
     update_node_fn: Mapping[str, UpdateFn],
     aggregate_edges_for_nodes_fn: AggregateFn = default_aggregation,
     include_sent_messages_in_node_update: bool = False,
+    factored_edge_fns: bool = False,
 ) -> TypedGraph:
   """One step of typed-graph message passing (InteractionNetwork semantics).
 
   Edge sets named in ``update_edge_fn`` are updated first; node sets named in
   ``update_node_fn`` are then updated using the *updated* edges.
+
+  With ``factored_edge_fns`` the edge fns receive the *full* node feature
+  arrays plus indices — fn(edge_feats, sender_full, receiver_full, senders,
+  receivers) — enabling the factored first-layer optimization (project per
+  node, then gather) instead of gather-then-project.
   """
   # --- edge updates ---
   updated_edges = dict(graph.edges)
@@ -54,10 +60,15 @@ def apply_graph_network(
     edge_set = graph.edges[key]
     senders = edge_set.indices.senders
     receivers = edge_set.indices.receivers
-    sender_feats = graph.nodes[key.node_sets[0]].features[senders]
-    receiver_feats = graph.nodes[key.node_sets[1]].features[receivers]
-    updated_edges[key] = edge_set._replace(
-        features=edge_fn(edge_set.features, sender_feats, receiver_feats))
+    sender_full = graph.nodes[key.node_sets[0]].features
+    receiver_full = graph.nodes[key.node_sets[1]].features
+    if factored_edge_fns:
+      new_feats = edge_fn(edge_set.features, sender_full, receiver_full,
+                          senders, receivers)
+    else:
+      new_feats = edge_fn(edge_set.features, sender_full[senders],
+                          receiver_full[receivers])
+    updated_edges[key] = edge_set._replace(features=new_feats)
   graph = graph._replace(edges=updated_edges)
 
   # --- node updates ---

@@ -197,3 +197,25 @@ def test_node_set_with_no_incoming_edges_updates():
   p = net.init(jax.random.PRNGKey(1), g)
   out = net.apply(p, g)
   assert out.nodes["a"].features.shape == (6, 2, 8)
+
+
+def test_factored_edge_update_matches_gathered():
+  """The factored first-layer edge update is algebraically identical."""
+  g = make_bipartite_graph()
+  kwargs = dict(
+      node_latent_size={"a": 16, "b": 16},
+      edge_latent_size={"a2b": 16},
+      mlp_hidden_size=16, mlp_num_hidden_layers=2,
+      num_message_passing_steps=2, activation="swish")
+  net_f = deep_gnn.DeepGraphNet(factored_edge_updates=True, **kwargs)
+  net_g = deep_gnn.DeepGraphNet(factored_edge_updates=False, **kwargs)
+  params = net_f.init(jax.random.PRNGKey(0), g)
+  out_f = net_f.apply(params, g)
+  out_g = net_g.apply(params, g)
+  np.testing.assert_allclose(
+      np.asarray(out_f.nodes["b"].features),
+      np.asarray(out_g.nodes["b"].features), rtol=2e-5, atol=2e-5)
+  np.testing.assert_allclose(
+      np.asarray(out_f.edges[out_f.edge_key_by_name("a2b")].features),
+      np.asarray(out_g.edges[out_g.edge_key_by_name("a2b")].features),
+      rtol=2e-5, atol=2e-5)
