@@ -248,22 +248,25 @@ class DenoiserArchitecture:
 
   def init(self, rng, inputs: FieldSet, targets_template: FieldSet,
            forcings: FieldSet) -> core.Params:
-    grid_node_features, cond = self._split_features_and_conditioning(
-        inputs, forcings)
+    # Abstract (shape-only) template graphs: init does no device compute.
+    gnf, cond = jax.eval_shape(
+        self._split_features_and_conditioning, inputs, forcings)
     self._maybe_init(inputs, cond.shape[-1])
     k1, k2, k3 = jax.random.split(rng, 3)
     params = {}
-    g2m = self._grid2mesh_graph(grid_node_features)
+    g2m = jax.eval_shape(self._grid2mesh_graph,
+                         jax.ShapeDtypeStruct(gnf.shape, gnf.dtype))
     params["grid2mesh_gnn"] = self._grid2mesh_gnn.init(k1, g2m)
     params["mesh_transformer"] = self._mesh_transformer.init(
         k2, cond.shape[-1])
-    batch = grid_node_features.shape[1]
+    batch = gnf.shape[1]
     latent = self._cfg.latent_size
-    dtype = grid_node_features.dtype
-    mesh_l = jnp.zeros((self._artifact.num_mesh_nodes, batch, latent), dtype)
-    grid_l = jnp.zeros((self._artifact.num_grid_nodes, batch, latent), dtype)
+    mesh_l = jax.ShapeDtypeStruct(
+        (self._artifact.num_mesh_nodes, batch, latent), gnf.dtype)
+    grid_l = jax.ShapeDtypeStruct(
+        (self._artifact.num_grid_nodes, batch, latent), gnf.dtype)
     params["mesh2grid_gnn"] = self._mesh2grid_gnn.init(
-        k3, self._mesh2grid_graph(mesh_l, grid_l))
+        k3, jax.eval_shape(self._mesh2grid_graph, mesh_l, grid_l))
     return params
 
   def apply(self, params: core.Params, inputs: FieldSet,
@@ -272,19 +275,22 @@ class DenoiserArchitecture:
         inputs, forcings)
     self._maybe_init(inputs, cond.shape[-1])
 
-    g2m_out = self._grid2mesh_gnn.apply(
-        params["grid2mesh_gnn"], self._grid2mesh_graph(grid_node_features),
-        global_norm_conditioning=cond)
+    with jax.named_scope("grid2mesh_gnn"):
+      g2m_out = self._grid2mesh_gnn.apply(
+          params["grid2mesh_gnn"], self._grid2mesh_graph(grid_node_features),
+          global_norm_conditioning=cond)
     latent_mesh_nodes = g2m_out.nodes["mesh_nodes"].features
     latent_grid_nodes = g2m_out.nodes["grid_nodes"].features
 
-    updated_mesh = self._mesh_transformer.apply(
-        params["mesh_transformer"], latent_mesh_nodes, cond)
+    with jax.named_scope("mesh_transformer"):
+      updated_mesh = self._mesh_transformer.apply(
+          params["mesh_transformer"], latent_mesh_nodes, cond)
 
-    m2g_out = self._mesh2grid_gnn.apply(
-        params["mesh2grid_gnn"],
-        self._mesh2grid_graph(updated_mesh, latent_grid_nodes),
-        global_norm_conditioning=cond)
+    with jax.named_scope("mesh2grid_gnn"):
+      m2g_out = self._mesh2grid_gnn.apply(
+          params["mesh2grid_gnn"],
+          self._mesh2grid_graph(updated_mesh, latent_grid_nodes),
+          global_norm_conditioning=cond)
     return self._outputs_to_prediction(
         m2g_out.nodes["grid_nodes"].features, targets_template)
 

@@ -197,22 +197,29 @@ class GraphCast(Predictor):
   # ----- Predictor API -----
 
   def init(self, rng, inputs, targets_template, forcings, **kwargs):
+    # Build the template graphs abstractly (shapes only) so init does no
+    # device compute — important when the model state is huge (0.25°).
     self._maybe_init(inputs)
-    grid_node_features = self._inputs_to_grid_node_features(inputs, forcings)
+    gnf = jax.eval_shape(self._inputs_to_grid_node_features, inputs, forcings)
     k1, k2, k3 = jax.random.split(rng, 3)
     latent = self._mc.latent_size
-    batch = grid_node_features.shape[1]
-    dtype = grid_node_features.dtype
-    g2m = self._grid2mesh_graph(grid_node_features)
+    batch = gnf.shape[1]
+    dtype = gnf.dtype
+
+    def abstract(fn, *feature_args):
+      return jax.eval_shape(fn, *feature_args)
+
+    g2m = abstract(self._grid2mesh_graph,
+                   jax.ShapeDtypeStruct(gnf.shape, dtype))
     params = {"grid2mesh_gnn": self._grid2mesh_gnn.init(k1, g2m)}
-    latent_template = jnp.zeros(
+    mesh_l = jax.ShapeDtypeStruct(
         (self._artifact.num_mesh_nodes, batch, latent), dtype)
-    grid_latent_template = jnp.zeros(
+    grid_l = jax.ShapeDtypeStruct(
         (self._artifact.num_grid_nodes, batch, latent), dtype)
     params["mesh_gnn"] = self._mesh_gnn.init(
-        k2, self._mesh_graph(latent_template))
+        k2, abstract(self._mesh_graph, mesh_l))
     params["mesh2grid_gnn"] = self._mesh2grid_gnn.init(
-        k3, self._mesh2grid_graph(latent_template, grid_latent_template))
+        k3, abstract(self._mesh2grid_graph, mesh_l, grid_l))
     return params
 
   def __call__(self, params, rng, inputs, targets_template, forcings,
@@ -222,20 +229,23 @@ class GraphCast(Predictor):
     grid_node_features = self._inputs_to_grid_node_features(inputs, forcings)
 
     # Encode (grid2mesh).
-    g2m_out = self._grid2mesh_gnn.apply(
-        params["grid2mesh_gnn"], self._grid2mesh_graph(grid_node_features))
+    with jax.named_scope("grid2mesh_gnn"):
+      g2m_out = self._grid2mesh_gnn.apply(
+          params["grid2mesh_gnn"], self._grid2mesh_graph(grid_node_features))
     latent_mesh_nodes = g2m_out.nodes["mesh_nodes"].features
     latent_grid_nodes = g2m_out.nodes["grid_nodes"].features
 
     # Process (multi-mesh).
-    mesh_out = self._mesh_gnn.apply(
-        params["mesh_gnn"], self._mesh_graph(latent_mesh_nodes))
+    with jax.named_scope("mesh_gnn"):
+      mesh_out = self._mesh_gnn.apply(
+          params["mesh_gnn"], self._mesh_graph(latent_mesh_nodes))
     updated_latent_mesh_nodes = mesh_out.nodes["mesh_nodes"].features
 
     # Decode (mesh2grid).
-    m2g_out = self._mesh2grid_gnn.apply(
-        params["mesh2grid_gnn"],
-        self._mesh2grid_graph(updated_latent_mesh_nodes, latent_grid_nodes))
+    with jax.named_scope("mesh2grid_gnn"):
+      m2g_out = self._mesh2grid_gnn.apply(
+          params["mesh2grid_gnn"],
+          self._mesh2grid_graph(updated_latent_mesh_nodes, latent_grid_nodes))
     output_grid_nodes = m2g_out.nodes["grid_nodes"].features
 
     return self._grid_node_outputs_to_prediction(
