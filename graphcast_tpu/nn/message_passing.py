@@ -42,6 +42,7 @@ def apply_graph_network(
     aggregate_edges_for_nodes_fn: AggregateFn = default_aggregation,
     include_sent_messages_in_node_update: bool = False,
     factored_edge_fns: bool = False,
+    update_global_fn: Optional[UpdateFn] = None,
 ) -> TypedGraph:
   """One step of typed-graph message passing (InteractionNetwork semantics).
 
@@ -88,7 +89,21 @@ def apply_graph_network(
             edge_set.features, edge_set.indices.receivers, num_nodes))
     updated_nodes[node_set_name] = node_set._replace(
         features=node_fn(*inputs))
-  return graph._replace(nodes=updated_nodes)
+  graph = graph._replace(nodes=updated_nodes)
+
+  # --- optional global update (reference: typed_graph_net.py:187-225) ---
+  if update_global_fn is not None:
+    inputs = []
+    if hasattr(graph.context.features, "shape"):
+      inputs.append(graph.context.features)
+    for key, edge_set in graph.edges.items():
+      # Single-graph convention: aggregate all edges to one vector.
+      inputs.append(jnp.sum(edge_set.features, axis=0))
+    for name, node_set in graph.nodes.items():
+      inputs.append(jnp.sum(node_set.features, axis=0))
+    graph = graph._replace(
+        context=graph.context._replace(features=update_global_fn(*inputs)))
+  return graph
 
 
 def apply_graph_map_features(
