@@ -99,8 +99,12 @@ def main():
   # --- chunked long rollout ---
   long_targets = rollout.extend_targets_template(targets, args.steps * 2)
   long_forcings = rollout.extend_targets_template(forcings, args.steps * 2)
+
+  def predictor_fn(rng, inputs, targets_template, forcings):
+    return forward(params, rng, inputs, targets_template, forcings)
+
   chunked = rollout.chunked_prediction(
-      forward, rng, inputs, long_targets, long_forcings,
+      predictor_fn, rng, inputs, long_targets, long_forcings,
       num_steps_per_chunk=args.steps)
   print("chunked rollout steps:", chunked.sizes["time"])
 

@@ -30,6 +30,13 @@ def radius_query_indices(
   """
   grid_positions = grid_lat_lon_to_node_coordinates(grid_lat, grid_lon)
   mesh_positions = mesh.vertices
+
+  from graphcast_tpu.native import build as native
+  if native.have_native():
+    # C++ bucket-grid path (order-independent: the artifact sorts edges).
+    return native.radius_query(grid_positions.astype(np.float64),
+                               mesh_positions.astype(np.float64), radius)
+
   kd_tree = spatial.cKDTree(mesh_positions)
   query = kd_tree.query_ball_point(x=grid_positions, r=radius)
   grid_edge_indices = []
@@ -54,6 +61,11 @@ def containing_triangle_indices(
   margins are ≥ 0. Points on shared edges/vertices resolve to an arbitrary
   adjacent face (margin 0), like the reference's closest-point query.
   """
+  from graphcast_tpu.native import build as native
+  if native.have_native():
+    return native.containing_triangles(
+        points, mesh.vertices.astype(np.float64), mesh.faces)
+
   verts = mesh.vertices.astype(np.float64)
   faces = mesh.faces
   centroids = verts[faces].mean(axis=1)
