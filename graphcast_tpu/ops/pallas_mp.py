@@ -1,0 +1,160 @@
+"""Pallas TPU kernel: segment aggregation as one-hot MXU matmuls.
+
+The message-passing hot op is the scatter-add of per-edge messages into
+nodes (reference: jraph.segment_sum in typed_graph_net.py:160-176). XLA
+lowers segment-sum to a serial scatter on TPU; this kernel instead exploits
+two static properties of our graphs:
+
+- edges are sorted by receiver (geometry compiler), so each *node block*'s
+  incoming messages form one contiguous edge span;
+- membership "edge e → node n" is a one-hot matrix, so a block-local
+  aggregate is `onehot[bn, ek] @ messages[ek, C]` — a matmul the MXU eats,
+  rather than a scatter the VPU serializes.
+
+Host-side we precompute a chunk-aligned edge re-layout (each node block's
+span padded to a multiple of the chunk size); on device the messages are
+gathered into that layout once, then the kernel walks aligned chunks and
+accumulates one-hot matmuls in f32 VMEM scratch.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def row_offsets_from_sorted_receivers(receivers: np.ndarray,
+                                      num_nodes: int) -> np.ndarray:
+  """CSR row offsets [num_nodes+1] from a non-decreasing receiver list."""
+  counts = np.bincount(receivers, minlength=num_nodes)
+  return np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
+
+
+def _agg_kernel(chunk_base, num_chunks, node_base, receivers_ref,
+                messages_ref, out_ref, acc_scr, *, block_nodes, chunk_edges,
+                max_chunks):
+  i = pl.program_id(0)
+  j = pl.program_id(1)
+
+  @pl.when(j == 0)
+  def _init():
+    acc_scr[:] = jnp.zeros_like(acc_scr)
+
+  @pl.when(j < num_chunks[i])
+  def _compute():
+    base = node_base[i]
+    recv = receivers_ref[0]  # [chunk_edges] int32
+    node_ids = jax.lax.broadcasted_iota(
+        jnp.int32, (block_nodes, chunk_edges), 0) + base
+    onehot = (node_ids == recv[None, :]).astype(messages_ref.dtype)
+    acc_scr[:] += jax.lax.dot_general(
+        onehot, messages_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+  @pl.when(j == max_chunks - 1)
+  def _finalize():
+    out_ref[0] = acc_scr[:].astype(out_ref.dtype)
+
+
+class BlockedSegmentSum:
+  """Callable fused aggregation for a fixed receiver-sorted edge list."""
+
+  def __init__(self, receivers: np.ndarray, num_nodes: int,
+               block_nodes: int = 256, chunk_edges: int = 512,
+               interpret: Optional[bool] = None):
+    receivers = np.asarray(receivers, np.int32)
+    if receivers.size and (np.diff(receivers) < 0).any():
+      raise ValueError("receivers must be sorted")
+    self.num_nodes = num_nodes
+    self.num_edges = int(receivers.shape[0])
+    self.block_nodes = block_nodes
+    self.chunk_edges = chunk_edges
+    self._interpret = interpret
+
+    offsets = row_offsets_from_sorted_receivers(receivers, num_nodes)
+    nb = -(-num_nodes // block_nodes)
+    self.num_node_blocks = nb
+    bounds = np.minimum(np.arange(nb + 1) * block_nodes, num_nodes)
+    starts = offsets[bounds[:-1]]
+    ends = offsets[bounds[1:]]
+    spans = ends - starts
+    chunks_per_block = -(-spans // chunk_edges)
+    chunks_per_block = np.maximum(chunks_per_block, 0)
+    self.max_chunks = max(1, int(chunks_per_block.max()))
+    self.num_chunks = chunks_per_block.astype(np.int32)
+    self.node_base = (np.arange(nb) * block_nodes).astype(np.int32)
+
+    # Chunk-aligned re-layout: block i owns chunks
+    # [chunk_base[i], chunk_base[i] + num_chunks[i]).
+    chunk_base = np.concatenate([[0], np.cumsum(chunks_per_block)])
+    self.chunk_base = chunk_base[:-1].astype(np.int32)
+    total_chunks = int(chunk_base[-1])
+    L = max(total_chunks, 1) * chunk_edges
+    layout = np.full(L, self.num_edges, np.int64)  # → appended zero row
+    recv_layout = np.full(L, num_nodes + 1, np.int32)  # never matches
+    for i in range(nb):
+      dst0 = chunk_base[i] * chunk_edges
+      layout[dst0:dst0 + spans[i]] = np.arange(starts[i], ends[i])
+      recv_layout[dst0:dst0 + spans[i]] = receivers[starts[i]:ends[i]]
+    self.total_chunks = max(total_chunks, 1)
+    self.layout_index = layout
+    self.receivers_layout = recv_layout.reshape(self.total_chunks,
+                                                chunk_edges)
+
+  @property
+  def expansion(self) -> float:
+    """Padded-layout size relative to the raw edge count."""
+    return self.layout_index.shape[0] / max(self.num_edges, 1)
+
+  def __call__(self, messages):
+    """messages: [num_edges, C] → [num_nodes, C] sums."""
+    interpret = self._interpret
+    if interpret is None:
+      interpret = jax.default_backend() != "tpu"
+    e, c = messages.shape
+    if e != self.num_edges:
+      raise ValueError(f"expected {self.num_edges} edges, got {e}")
+    zero_row = jnp.zeros((1, c), messages.dtype)
+    msgs = jnp.concatenate([messages, zero_row], axis=0)[
+        jnp.asarray(self.layout_index)]
+    total_chunks = self.total_chunks
+
+    kernel = functools.partial(
+        _agg_kernel, block_nodes=self.block_nodes,
+        chunk_edges=self.chunk_edges, max_chunks=self.max_chunks)
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(self.num_node_blocks, self.max_chunks),
+            in_specs=[
+                # Clamp so inactive trailing chunks (j ≥ num_chunks[i]) stay
+                # in bounds; their compute is skipped by pl.when.
+                pl.BlockSpec((1, self.chunk_edges),
+                             lambda i, j, cb, nc, nb: (
+                                 jnp.minimum(cb[i] + j, total_chunks - 1),
+                                 0)),
+                pl.BlockSpec((self.chunk_edges, c),
+                             lambda i, j, cb, nc, nb: (
+                                 jnp.minimum(cb[i] + j, total_chunks - 1),
+                                 0)),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, self.block_nodes, c),
+                lambda i, j, cb, nc, nb: (i, 0, 0)),
+            scratch_shapes=[
+                pltpu.VMEM((self.block_nodes, c), jnp.float32)],
+        ),
+        out_shape=jax.ShapeDtypeStruct(
+            (self.num_node_blocks, self.block_nodes, c), messages.dtype),
+        interpret=interpret,
+    )(jnp.asarray(self.chunk_base), jnp.asarray(self.num_chunks),
+      jnp.asarray(self.node_base), jnp.asarray(self.receivers_layout), msgs)
+    return out.reshape(self.num_node_blocks * self.block_nodes,
+                       c)[:self.num_nodes]
