@@ -22,6 +22,17 @@ import numpy as np
 
 def main():
   import jax
+  try:
+    # Persistent compile cache: large-grid programs (0.25°) take minutes to
+    # compile; cache across runs.
+    cache = os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.expanduser("~"), ".cache", "graphcast_tpu",
+                     "xla_cache"))
+    jax.config.update("jax_compilation_cache_dir", cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+  except Exception:
+    pass
 
   from graphcast_tpu.data import synthetic
   from graphcast_tpu.models import configs

@@ -90,8 +90,10 @@ def main():
 
   # --- loss + gradients ---
   loss_fn = train.make_loss_fn(predictor)
+  trainable, statics = train.partition_params(params)
   (loss, diagnostics), grads = jax.jit(jax.value_and_grad(
-      loss_fn, has_aux=True))(params, rng, inputs, targets, forcings)
+      lambda p, r: loss_fn(train.merge_params(p, statics), r, inputs,
+                           targets, forcings), has_aux=True))(trainable, rng)
   print(f"loss: {float(loss):.4f}")
   print("per-variable diagnostics:",
         {k: round(float(v), 4) for k, v in diagnostics.items()})

@@ -91,6 +91,10 @@ def native_params_to_haiku(native: dict[str, Any]
   checkpoints)."""
   out: dict[str, dict[str, np.ndarray]] = {}
   for gnn, modules in native.items():
+    if gnn == "graph_statics":
+      # Derived graph data, not parameters — never serialized to the
+      # reference format (the reference rebuilds graphs from configs).
+      continue
     for base, parts in modules.items():
       ref_base = _unmap_base_name(base)
       for part_name, part in parts.items():

@@ -59,6 +59,29 @@ class GridMeshArtifact:
   def num_mesh_nodes(self) -> int:
     return self.mesh_vertices.shape[0]
 
+  def graph_statics(self) -> dict:
+    """The per-step device data as a pytree of arrays.
+
+    Threaded through jitted programs as *arguments* (a non-trainable
+    "graph_statics" entry in the params tree) rather than closure
+    constants — at 0.25° the edge lists and features total hundreds of MB
+    and would otherwise be inlined as giant HLO literals, exploding
+    compile time.
+    """
+    return {
+        "grid_node_features": self.grid_node_features,
+        "mesh_node_features": self.mesh_node_features,
+        "g2m_senders": self.grid2mesh.senders,
+        "g2m_receivers": self.grid2mesh.receivers,
+        "g2m_edge_features": self.grid2mesh.features,
+        "mesh_senders": self.mesh.senders,
+        "mesh_receivers": self.mesh.receivers,
+        "mesh_edge_features": self.mesh.features,
+        "m2g_senders": self.mesh2grid.senders,
+        "m2g_receivers": self.mesh2grid.receivers,
+        "m2g_edge_features": self.mesh2grid.features,
+    }
+
 
 def _sorted_edges(senders, receivers, feats) -> EdgeArrays:
   from graphcast_tpu.nn.typed_graph import sort_edges_by_receiver

@@ -172,14 +172,20 @@ class DenoiserArchitecture:
 
   # --- graphs (same assembly pattern as GraphCast) ---
 
-  def _grid2mesh_graph(self, grid_node_features) -> TypedGraph:
+  def _statics(self, params) -> dict:
+    if isinstance(params, dict) and "graph_statics" in params:
+      return params["graph_statics"]
+    return {k: jnp.asarray(v)
+            for k, v in self._artifact.graph_statics().items()}
+
+  def _grid2mesh_graph(self, statics, grid_node_features) -> TypedGraph:
     art = self._artifact
     batch = grid_node_features.shape[1]
     dtype = grid_node_features.dtype
     grid_struct = _add_batch_second_axis(
-        jnp.asarray(art.grid_node_features, dtype), batch)
+        statics["grid_node_features"].astype(dtype), batch)
     mesh_struct = _add_batch_second_axis(
-        jnp.asarray(art.mesh_node_features, dtype), batch)
+        statics["mesh_node_features"].astype(dtype), batch)
     dummy = jnp.zeros((art.num_mesh_nodes,) + grid_node_features.shape[1:],
                       dtype)
     return TypedGraph(
@@ -193,12 +199,12 @@ class DenoiserArchitecture:
                 jnp.concatenate([dummy, mesh_struct], axis=-1)),
         },
         edges={EdgeSetKey("grid2mesh", ("grid_nodes", "mesh_nodes")): EdgeSet(
-            indices=EdgesIndices(jnp.asarray(art.grid2mesh.senders),
-                                 jnp.asarray(art.grid2mesh.receivers)),
+            indices=EdgesIndices(statics["g2m_senders"],
+                                 statics["g2m_receivers"]),
             features=_add_batch_second_axis(
-                jnp.asarray(art.grid2mesh.features, dtype), batch))})
+                statics["g2m_edge_features"].astype(dtype), batch))})
 
-  def _mesh2grid_graph(self, latent_mesh_nodes, latent_grid_nodes
+  def _mesh2grid_graph(self, statics, latent_mesh_nodes, latent_grid_nodes
                        ) -> TypedGraph:
     art = self._artifact
     batch = latent_mesh_nodes.shape[1]
@@ -210,10 +216,10 @@ class DenoiserArchitecture:
             "mesh_nodes": NodeSet(art.num_mesh_nodes, latent_mesh_nodes),
         },
         edges={EdgeSetKey("mesh2grid", ("mesh_nodes", "grid_nodes")): EdgeSet(
-            indices=EdgesIndices(jnp.asarray(art.mesh2grid.senders),
-                                 jnp.asarray(art.mesh2grid.receivers)),
+            indices=EdgesIndices(statics["m2g_senders"],
+                                 statics["m2g_receivers"]),
             features=_add_batch_second_axis(
-                jnp.asarray(art.mesh2grid.features, dtype), batch))})
+                statics["m2g_edge_features"].astype(dtype), batch))})
 
   # --- features ---
 
@@ -254,7 +260,10 @@ class DenoiserArchitecture:
     self._maybe_init(inputs, cond.shape[-1])
     k1, k2, k3 = jax.random.split(rng, 3)
     params = {}
-    g2m = jax.eval_shape(self._grid2mesh_graph,
+    statics = self._artifact.graph_statics()
+    abstract_statics = jax.tree_util.tree_map(
+        lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), statics)
+    g2m = jax.eval_shape(self._grid2mesh_graph, abstract_statics,
                          jax.ShapeDtypeStruct(gnf.shape, gnf.dtype))
     params["grid2mesh_gnn"] = self._grid2mesh_gnn.init(k1, g2m)
     params["mesh_transformer"] = self._mesh_transformer.init(
@@ -266,7 +275,9 @@ class DenoiserArchitecture:
     grid_l = jax.ShapeDtypeStruct(
         (self._artifact.num_grid_nodes, batch, latent), gnf.dtype)
     params["mesh2grid_gnn"] = self._mesh2grid_gnn.init(
-        k3, jax.eval_shape(self._mesh2grid_graph, mesh_l, grid_l))
+        k3, jax.eval_shape(self._mesh2grid_graph, abstract_statics, mesh_l,
+                           grid_l))
+    params["graph_statics"] = statics
     return params
 
   def apply(self, params: core.Params, inputs: FieldSet,
@@ -275,9 +286,11 @@ class DenoiserArchitecture:
         inputs, forcings)
     self._maybe_init(inputs, cond.shape[-1])
 
+    statics = self._statics(params)
     with jax.named_scope("grid2mesh_gnn"):
       g2m_out = self._grid2mesh_gnn.apply(
-          params["grid2mesh_gnn"], self._grid2mesh_graph(grid_node_features),
+          params["grid2mesh_gnn"],
+          self._grid2mesh_graph(statics, grid_node_features),
           global_norm_conditioning=cond)
     latent_mesh_nodes = g2m_out.nodes["mesh_nodes"].features
     latent_grid_nodes = g2m_out.nodes["grid_nodes"].features
@@ -289,7 +302,7 @@ class DenoiserArchitecture:
     with jax.named_scope("mesh2grid_gnn"):
       m2g_out = self._mesh2grid_gnn.apply(
           params["mesh2grid_gnn"],
-          self._mesh2grid_graph(updated_mesh, latent_grid_nodes),
+          self._mesh2grid_graph(statics, updated_mesh, latent_grid_nodes),
           global_norm_conditioning=cond)
     return self._outputs_to_prediction(
         m2g_out.nodes["grid_nodes"].features, targets_template)

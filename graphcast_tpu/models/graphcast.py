@@ -106,7 +106,15 @@ class GraphCast(Predictor):
         multimesh=True,
         cache_dir=self._cache_dir)
 
-  def _grid2mesh_graph(self, grid_node_features) -> TypedGraph:
+  def _statics(self, params) -> dict:
+    """Graph data threaded as jit arguments when present in params
+    (see GridMeshArtifact.graph_statics), else closure constants."""
+    if isinstance(params, dict) and "graph_statics" in params:
+      return params["graph_statics"]
+    return {k: jnp.asarray(v)
+            for k, v in self._artifact.graph_statics().items()}
+
+  def _grid2mesh_graph(self, statics, grid_node_features) -> TypedGraph:
     """Assembles the grid2mesh TypedGraph; grid nodes carry
     [input features ++ structural], mesh nodes [zeros ++ structural]
     (reference: graphcast.py:609-663)."""
@@ -114,15 +122,15 @@ class GraphCast(Predictor):
     batch = grid_node_features.shape[1]
     dtype = grid_node_features.dtype
     grid_struct = _add_batch_second_axis(
-        jnp.asarray(art.grid_node_features, dtype), batch)
+        statics["grid_node_features"].astype(dtype), batch)
     mesh_struct = _add_batch_second_axis(
-        jnp.asarray(art.mesh_node_features, dtype), batch)
+        statics["mesh_node_features"].astype(dtype), batch)
     dummy_mesh_feats = jnp.zeros(
         (art.num_mesh_nodes,) + grid_node_features.shape[1:], dtype)
     grid_feats = jnp.concatenate([grid_node_features, grid_struct], axis=-1)
     mesh_feats = jnp.concatenate([dummy_mesh_feats, mesh_struct], axis=-1)
     edge_feats = _add_batch_second_axis(
-        jnp.asarray(art.grid2mesh.features, dtype), batch)
+        statics["g2m_edge_features"].astype(dtype), batch)
     return TypedGraph(
         context=Context(features=()),
         nodes={
@@ -130,35 +138,33 @@ class GraphCast(Predictor):
             "mesh_nodes": NodeSet(art.num_mesh_nodes, mesh_feats),
         },
         edges={EdgeSetKey("grid2mesh", ("grid_nodes", "mesh_nodes")): EdgeSet(
-            indices=EdgesIndices(
-                jnp.asarray(art.grid2mesh.senders),
-                jnp.asarray(art.grid2mesh.receivers)),
+            indices=EdgesIndices(statics["g2m_senders"],
+                                 statics["g2m_receivers"]),
             features=edge_feats)})
 
-  def _mesh_graph(self, latent_mesh_nodes) -> TypedGraph:
+  def _mesh_graph(self, statics, latent_mesh_nodes) -> TypedGraph:
     """Multi-mesh processor graph (reference: graphcast.py:665-699)."""
     art = self._artifact
     batch = latent_mesh_nodes.shape[1]
     dtype = latent_mesh_nodes.dtype
     edge_feats = _add_batch_second_axis(
-        jnp.asarray(art.mesh.features, dtype), batch)
+        statics["mesh_edge_features"].astype(dtype), batch)
     return TypedGraph(
         context=Context(features=()),
         nodes={"mesh_nodes": NodeSet(art.num_mesh_nodes, latent_mesh_nodes)},
         edges={EdgeSetKey("mesh", ("mesh_nodes", "mesh_nodes")): EdgeSet(
-            indices=EdgesIndices(
-                jnp.asarray(art.mesh.senders),
-                jnp.asarray(art.mesh.receivers)),
+            indices=EdgesIndices(statics["mesh_senders"],
+                                 statics["mesh_receivers"]),
             features=edge_feats)})
 
-  def _mesh2grid_graph(self, latent_mesh_nodes, latent_grid_nodes
+  def _mesh2grid_graph(self, statics, latent_mesh_nodes, latent_grid_nodes
                        ) -> TypedGraph:
     """Decoder graph (reference: graphcast.py:701-738)."""
     art = self._artifact
     batch = latent_mesh_nodes.shape[1]
     dtype = latent_mesh_nodes.dtype
     edge_feats = _add_batch_second_axis(
-        jnp.asarray(art.mesh2grid.features, dtype), batch)
+        statics["m2g_edge_features"].astype(dtype), batch)
     return TypedGraph(
         context=Context(features=()),
         nodes={
@@ -166,9 +172,8 @@ class GraphCast(Predictor):
             "mesh_nodes": NodeSet(art.num_mesh_nodes, latent_mesh_nodes),
         },
         edges={EdgeSetKey("mesh2grid", ("mesh_nodes", "grid_nodes")): EdgeSet(
-            indices=EdgesIndices(
-                jnp.asarray(art.mesh2grid.senders),
-                jnp.asarray(art.mesh2grid.receivers)),
+            indices=EdgesIndices(statics["m2g_senders"],
+                                 statics["m2g_receivers"]),
             features=edge_feats)})
 
   # ----- feature packing -----
@@ -206,21 +211,30 @@ class GraphCast(Predictor):
     batch = gnf.shape[1]
     dtype = gnf.dtype
 
-    def abstract(fn, *feature_args):
-      return jax.eval_shape(fn, *feature_args)
+    statics = self._artifact.graph_statics()
+    abstract_statics = jax.tree_util.tree_map(
+        lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), statics)
 
-    g2m = abstract(self._grid2mesh_graph,
-                   jax.ShapeDtypeStruct(gnf.shape, dtype))
+    g2m = jax.eval_shape(self._grid2mesh_graph, abstract_statics,
+                         jax.ShapeDtypeStruct(gnf.shape, dtype))
     params = {"grid2mesh_gnn": self._grid2mesh_gnn.init(k1, g2m)}
     mesh_l = jax.ShapeDtypeStruct(
         (self._artifact.num_mesh_nodes, batch, latent), dtype)
     grid_l = jax.ShapeDtypeStruct(
         (self._artifact.num_grid_nodes, batch, latent), dtype)
     params["mesh_gnn"] = self._mesh_gnn.init(
-        k2, abstract(self._mesh_graph, mesh_l))
+        k2, jax.eval_shape(self._mesh_graph, abstract_statics, mesh_l))
     params["mesh2grid_gnn"] = self._mesh2grid_gnn.init(
-        k3, abstract(self._mesh2grid_graph, mesh_l, grid_l))
+        k3, jax.eval_shape(self._mesh2grid_graph, abstract_statics, mesh_l,
+                           grid_l))
+    params["graph_statics"] = statics
     return params
+
+  def attach_graph_statics(self, params, inputs: FieldSet):
+    """Adds the graph-statics entry to params loaded from a reference
+    checkpoint (which stores only learned parameters)."""
+    self._maybe_init(inputs)
+    return {**params, "graph_statics": self._artifact.graph_statics()}
 
   def __call__(self, params, rng, inputs, targets_template, forcings,
                **kwargs):
@@ -228,24 +242,28 @@ class GraphCast(Predictor):
     self._maybe_init(inputs)
     grid_node_features = self._inputs_to_grid_node_features(inputs, forcings)
 
+    statics = self._statics(params)
+
     # Encode (grid2mesh).
     with jax.named_scope("grid2mesh_gnn"):
       g2m_out = self._grid2mesh_gnn.apply(
-          params["grid2mesh_gnn"], self._grid2mesh_graph(grid_node_features))
+          params["grid2mesh_gnn"],
+          self._grid2mesh_graph(statics, grid_node_features))
     latent_mesh_nodes = g2m_out.nodes["mesh_nodes"].features
     latent_grid_nodes = g2m_out.nodes["grid_nodes"].features
 
     # Process (multi-mesh).
     with jax.named_scope("mesh_gnn"):
       mesh_out = self._mesh_gnn.apply(
-          params["mesh_gnn"], self._mesh_graph(latent_mesh_nodes))
+          params["mesh_gnn"], self._mesh_graph(statics, latent_mesh_nodes))
     updated_latent_mesh_nodes = mesh_out.nodes["mesh_nodes"].features
 
     # Decode (mesh2grid).
     with jax.named_scope("mesh2grid_gnn"):
       m2g_out = self._mesh2grid_gnn.apply(
           params["mesh2grid_gnn"],
-          self._mesh2grid_graph(updated_latent_mesh_nodes, latent_grid_nodes))
+          self._mesh2grid_graph(statics, updated_latent_mesh_nodes,
+                                latent_grid_nodes))
     output_grid_nodes = m2g_out.nodes["grid_nodes"].features
 
     return self._grid_node_outputs_to_prediction(

@@ -33,7 +33,8 @@ def init_train_state(predictor: Predictor, optimizer, rng,
                      inputs: FieldSet, targets: FieldSet,
                      forcings: FieldSet) -> TrainState:
   params = predictor.init(rng, inputs, targets, forcings)
-  opt_state = optimizer.init(params)
+  trainable, _ = partition_params(params)
+  opt_state = optimizer.init(trainable)
   return TrainState(params=params, opt_state=opt_state,
                     step=jnp.zeros((), jnp.int32))
 
@@ -58,21 +59,67 @@ def make_loss_fn(predictor: Predictor):
   return loss_fn
 
 
+STATICS_KEY = "graph_statics"
+
+
+def partition_params(params):
+  """Splits a params tree into (trainable, statics): any dict entry named
+  "graph_statics" (at any level) is non-trainable graph data threaded as a
+  jit argument (see GridMeshArtifact.graph_statics)."""
+  if not isinstance(params, dict):
+    return params, None
+  trainable, statics = {}, {}
+  for k, v in params.items():
+    if k == STATICS_KEY:
+      statics[k] = v
+    elif isinstance(v, dict):
+      t, s = partition_params(v)
+      trainable[k] = t
+      if s:
+        statics[k] = s
+    else:
+      trainable[k] = v
+  return trainable, (statics or None)
+
+
+def merge_params(trainable, statics):
+  if statics is None:
+    return trainable
+  merged = dict(trainable) if isinstance(trainable, dict) else trainable
+  for k, v in statics.items():
+    if k == STATICS_KEY:
+      merged[k] = v
+    else:
+      merged[k] = merge_params(merged.get(k, {}), v)
+  return merged
+
+
 def make_train_step(predictor: Predictor,
                     optimizer: optax.GradientTransformation,
                     mesh=None,
                     donate: bool = True):
   """Returns jitted train_step(state, rng, inputs, targets, forcings)
-  → (state, loss, diagnostics)."""
+  → (state, loss, diagnostics).
+
+  state.params holds the full tree (incl. graph statics); gradients and
+  optimizer updates apply only to the trainable partition.
+  """
   loss_fn = make_loss_fn(predictor)
 
   def train_step(state: TrainState, rng, inputs, targets, forcings):
+    trainable, statics = partition_params(state.params)
+
+    def trainable_loss(trainable):
+      return loss_fn(merge_params(trainable, statics), rng, inputs, targets,
+                     forcings)
+
     (loss, diagnostics), grads = jax.value_and_grad(
-        loss_fn, has_aux=True)(state.params, rng, inputs, targets, forcings)
+        trainable_loss, has_aux=True)(trainable)
     updates, new_opt_state = optimizer.update(
-        grads, state.opt_state, state.params)
-    new_params = optax.apply_updates(state.params, updates)
-    new_state = TrainState(params=new_params, opt_state=new_opt_state,
+        grads, state.opt_state, trainable)
+    new_trainable = optax.apply_updates(trainable, updates)
+    new_state = TrainState(params=merge_params(new_trainable, statics),
+                           opt_state=new_opt_state,
                            step=state.step + 1)
     return new_state, loss, diagnostics
 
@@ -83,6 +130,31 @@ def make_train_step(predictor: Predictor,
 def shard_batch(mesh, *fieldsets):
   """Shards the batch dim of the given FieldSets over the mesh."""
   return sharding_lib.shard_fieldsets(mesh, *fieldsets)
+
+
+def autoregressive_curriculum(
+    total_steps: int = 300_000,
+    fine_tune_steps: int = 11_000,
+    max_ar_steps: int = 12):
+  """The GraphCast paper's AR training curriculum.
+
+  Phase 1 trains on 1-step targets; phase 2 fine-tunes with the number of
+  autoregressive steps increasing from 2 to `max_ar_steps` (one increment
+  every `fine_tune_steps / (max_ar_steps - 1)` steps).
+
+  Returns a function step → num_ar_steps usable to pick the targets window
+  per phase. (Changing the window length recompiles once per phase; the
+  scan itself is jitted per length.)
+  """
+  ramp = fine_tune_steps / max(max_ar_steps - 1, 1)
+
+  def num_ar_steps(step: int) -> int:
+    if step < total_steps - fine_tune_steps:
+      return 1
+    into = step - (total_steps - fine_tune_steps)
+    return min(2 + int(into / ramp), max_ar_steps)
+
+  return num_ar_steps
 
 
 def graphcast_optimizer(

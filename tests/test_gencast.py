@@ -78,17 +78,20 @@ def test_gencast_samples_differ_across_rngs():
 
 
 def test_gencast_loss_and_grads():
+  from graphcast_tpu import train
   predictor = tiny_gencast()
   inputs, targets, forcings = make_batch()
   rng = jax.random.PRNGKey(0)
   params = predictor.init(rng, inputs, targets, forcings)
+  trainable, statics = train.partition_params(params)
 
   def loss_fn(p, r):
-    loss, diagnostics = predictor.loss(p, r, inputs, targets, forcings)
+    loss, diagnostics = predictor.loss(
+        train.merge_params(p, statics), r, inputs, targets, forcings)
     return jnp.mean(loss), diagnostics
 
   (loss, diag), grads = jax.jit(jax.value_and_grad(
-      loss_fn, has_aux=True))(params, rng)
+      loss_fn, has_aux=True))(trainable, rng)
   assert np.isfinite(float(loss))
   assert "sea_surface_temperature" in diag
   leaves = jax.tree_util.tree_leaves(grads)
@@ -133,3 +136,26 @@ def test_gencast_with_wrapper_stack():
   assert np.isnan(sst_pred[..., :2]).all()
   assert np.isfinite(sst_pred[..., 2:]).all()
   assert np.isfinite(np.asarray(preds.data("temperature"))).all()
+
+
+def test_gencast_autoregressive_rollout():
+  """Chained 12h GenCast steps through the Autoregressive scan (the
+  production 30-step rollout path, tiny)."""
+  from graphcast_tpu.wrappers import Autoregressive
+  predictor = tiny_gencast(num_noise_levels=3)
+  stddev, mean, diffs = synthetic.make_norm_stats(TINY_TASK)
+  stack = Autoregressive(
+      InputsAndResiduals(predictor, stddev_by_level=stddev,
+                         mean_by_level=mean, diffs_stddev_by_level=diffs))
+  inputs, targets, forcings = synthetic.make_example_batch(
+      TINY_TASK, resolution=30.0, batch=1, num_target_times=3,
+      time_step_hours=12)
+  rng = jax.random.PRNGKey(0)
+  params = stack.init(rng, inputs, targets, forcings)
+  preds = jax.jit(
+      lambda p, r: stack(p, r, inputs, targets, forcings))(params, rng)
+  assert preds["temperature"].sizes["time"] == 3
+  data = np.asarray(preds.data("temperature"))
+  assert np.isfinite(data).all()
+  # Different sampled trajectories at different steps.
+  assert not np.allclose(data[:, 0], data[:, 2])

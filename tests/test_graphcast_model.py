@@ -77,15 +77,17 @@ def test_ar_loss_and_grads():
   predictor, inputs, targets, forcings = build_stack(
       num_targets=2, grad_ckpt=True)
   rng = jax.random.PRNGKey(0)
+  from graphcast_tpu import train
   params = predictor.init(rng, inputs, targets, forcings)
+  trainable, statics = train.partition_params(params)
 
-  def loss_fn(params):
+  def loss_fn(p):
     (loss, diagnostics) = predictor.loss(
-        params, rng, inputs, targets, forcings)
+        train.merge_params(p, statics), rng, inputs, targets, forcings)
     return jnp.mean(loss), diagnostics
 
   (loss, diagnostics), grads = jax.jit(
-      jax.value_and_grad(loss_fn, has_aux=True))(params)
+      jax.value_and_grad(loss_fn, has_aux=True))(trainable)
   assert np.isfinite(float(loss))
   assert set(diagnostics) == {"2m_temperature", "temperature"}
   flat = jax.tree_util.tree_leaves(grads)
@@ -111,9 +113,12 @@ def test_bf16_inner_compute():
   predictor, inputs, targets, forcings = build_stack()
   rng = jax.random.PRNGKey(0)
   params = predictor.init(rng, inputs, targets, forcings)
-  # All params stored f32 (master copies).
-  for leaf in jax.tree_util.tree_leaves(params):
+  # All trainable params stored f32 (master copies); graph statics excluded.
+  from graphcast_tpu import train
+  trainable, statics = train.partition_params(params)
+  for leaf in jax.tree_util.tree_leaves(trainable):
     assert leaf.dtype == jnp.float32
+  assert statics is not None
   preds = predictor(params, rng, inputs, targets, forcings)
   assert preds["temperature"].dtype == jnp.float32
 

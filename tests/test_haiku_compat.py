@@ -20,7 +20,9 @@ def init_tiny_graphcast():
 
 
 def test_param_name_roundtrip():
-  _, params, _ = init_tiny_graphcast()
+  from graphcast_tpu import train
+  _, full_params, _ = init_tiny_graphcast()
+  params, _ = train.partition_params(full_params)
   haiku = haiku_checkpoint.native_params_to_haiku(params)
   # Haiku keys look like the reference's module paths.
   assert any(k.startswith("grid2mesh_gnn/~_networks_builder/"
