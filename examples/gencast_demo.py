@@ -91,11 +91,9 @@ def main():
 
   loss_fn = train.make_loss_fn(predictor)
   trainable, statics = train.partition_params(params)
-  (loss, _), grads = jax.jit(jax.value_and_grad(loss_fn, has_aux=True))(
-      train.merge_params(trainable, statics), rng, inputs, targets, forcings)       if statics is None else jax.jit(jax.value_and_grad(
-          lambda p, r: loss_fn(train.merge_params(p, statics), r, inputs,
-                               targets, forcings), has_aux=True))(
-                                   trainable, rng)
+  (loss, _), grads = jax.jit(jax.value_and_grad(
+      lambda p, r: loss_fn(train.merge_params(p, statics), r, inputs,
+                           targets, forcings), has_aux=True))(trainable, rng)
   print(f"diffusion training loss: {float(loss):.4f}; grads finite: "
         f"{all(np.isfinite(np.asarray(g)).all() for g in jax.tree_util.tree_leaves(grads))}")
 
