@@ -114,6 +114,93 @@ def native_params_to_haiku(native: dict[str, Any]
   return out
 
 
+# --- GenCast (denoiser) conversion -----------------------------------------
+# Haiku paths (verified against dm-haiku nesting rules):
+#   mesh_transformer/transformer/block_{i:02d}/{mha_proj_*,mha_final,
+#       ffw_up,ffw_down}
+#   mesh_transformer/transformer/block_{i:02d}/block_{i:02d}_norm_conditioning
+#       /linear
+#   mesh_transformer/transformer/transformer_final_norm_conditioning/linear
+#   fourier_features_mlp/~/mlp/~/linear_{i}           (noise-level encoder)
+#   {grid2mesh_gnn,mesh2grid_gnn}/~_networks_builder/...
+
+_TRANSFORMER_RE = re.compile(
+    r"^mesh_transformer/transformer/(?P<rest>.+)$")
+_BLOCK_RE = re.compile(
+    r"^(?P<block>block_\d+)/(?P<leaf>mha_proj_[qkv]|mha_final|ffw_up"
+    r"|ffw_down)$")
+_BLOCK_NC_RE = re.compile(
+    r"^(?P<block>block_\d+)/(?P=block)_norm_conditioning/linear$")
+_FINAL_NC_RE = re.compile(
+    r"^transformer_final_norm_conditioning/linear$")
+_NOISE_ENC_RE = re.compile(
+    r"^fourier_features_mlp/~/mlp/~/(?P<linear>linear_\d+)$")
+
+
+def gencast_haiku_params_to_native(haiku_params) -> dict[str, Any]:
+  """Flat Haiku GenCast params → our nested Denoiser param tree."""
+  arch: dict[str, Any] = {}
+  noise_encoder: dict[str, Any] = {}
+  gnn_params = {}
+  for key, value in haiku_params.items():
+    tm = _TRANSFORMER_RE.match(key)
+    nm = _NOISE_ENC_RE.match(key)
+    if tm:
+      rest = tm.group("rest")
+      mesh_t = arch.setdefault("mesh_transformer", {})
+      bm = _BLOCK_RE.match(rest)
+      bnc = _BLOCK_NC_RE.match(rest)
+      if bm:
+        mesh_t.setdefault(bm.group("block"), {})[bm.group("leaf")] = {
+            k: np.asarray(v) for k, v in value.items()}
+      elif bnc:
+        mesh_t.setdefault(bnc.group("block"), {})["norm_conditioning"] = {
+            "w": np.asarray(value["w"]), "b": np.asarray(value["b"])}
+      elif _FINAL_NC_RE.match(rest):
+        mesh_t["final_norm_conditioning"] = {
+            "w": np.asarray(value["w"]), "b": np.asarray(value["b"])}
+      else:
+        raise ValueError(f"unrecognized transformer param: {rest!r}")
+    elif nm:
+      noise_encoder[nm.group("linear")] = {
+          "w": np.asarray(value["w"]), "b": np.asarray(value["b"])}
+    else:
+      gnn_params[key] = value
+  arch.update(haiku_params_to_native(gnn_params))
+  return {"noise_encoder": noise_encoder, "architecture": arch}
+
+
+def native_gencast_params_to_haiku(native) -> dict[str, Any]:
+  """Inverse of gencast_haiku_params_to_native."""
+  out: dict[str, Any] = {}
+  for linear, p in native.get("noise_encoder", {}).items():
+    out[f"fourier_features_mlp/~/mlp/~/{linear}"] = {
+        "w": np.asarray(p["w"]), "b": np.asarray(p["b"])}
+  arch = native.get("architecture", {})
+  gnns = {}
+  for name, sub in arch.items():
+    if name == "graph_statics":
+      continue
+    if name == "mesh_transformer":
+      for block, parts in sub.items():
+        if block == "final_norm_conditioning":
+          out["mesh_transformer/transformer/"
+              "transformer_final_norm_conditioning/linear"] = {
+                  "w": np.asarray(parts["w"]), "b": np.asarray(parts["b"])}
+          continue
+        for leaf, p in parts.items():
+          if leaf == "norm_conditioning":
+            key = (f"mesh_transformer/transformer/{block}/"
+                   f"{block}_norm_conditioning/linear")
+          else:
+            key = f"mesh_transformer/transformer/{block}/{leaf}"
+          out[key] = {k: np.asarray(v) for k, v in p.items()}
+    else:
+      gnns[name] = sub
+  out.update(native_params_to_haiku(gnns))
+  return out
+
+
 def load_graphcast_checkpoint(source: Union[str, BinaryIO]):
   """Loads a reference GraphCast checkpoint bundle.
 

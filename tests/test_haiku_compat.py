@@ -59,3 +59,27 @@ def test_checkpoint_bundle_roundtrip_and_forward():
   np.testing.assert_allclose(np.asarray(out1.data("temperature")),
                              np.asarray(out2.data("temperature")),
                              rtol=1e-6)
+
+
+def test_gencast_param_roundtrip():
+  from graphcast_tpu import train
+  from tests.test_gencast import make_batch, tiny_gencast
+  predictor = tiny_gencast()
+  inputs, targets, forcings = make_batch(batch=1)
+  params = predictor.init(jax.random.PRNGKey(0), inputs, targets, forcings)
+  trainable, _ = train.partition_params(params)
+  haiku = haiku_checkpoint.native_gencast_params_to_haiku(trainable)
+  assert any(k.startswith("mesh_transformer/transformer/block_00/")
+             for k in haiku)
+  assert any(k.startswith("fourier_features_mlp/") for k in haiku)
+  assert any(k.startswith("grid2mesh_gnn/~_networks_builder/") for k in haiku)
+  # Norm conditioning present (GenCast GNNs are conditioned).
+  assert any("norm_conditioning" in k for k in haiku)
+  back = haiku_checkpoint.gencast_haiku_params_to_native(haiku)
+  flat1 = jax.tree_util.tree_leaves_with_path(trainable)
+  flat2 = jax.tree_util.tree_leaves_with_path(back)
+  assert len(flat1) == len(flat2)
+  for (p1, v1), (p2, v2) in zip(sorted(flat1, key=str),
+                                sorted(flat2, key=str)):
+    assert str(p1) == str(p2), (p1, p2)
+    np.testing.assert_array_equal(np.asarray(v1), np.asarray(v2))
