@@ -11,7 +11,6 @@ window (1h for ERA5, J·m⁻²).
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Optional, Sequence
 
 import jax

@@ -8,8 +8,6 @@ random fields.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import numpy as np
 
 from graphcast_tpu.fields import Field, FieldSet

@@ -11,7 +11,6 @@ Native re-implementation of the reference's samplers_utils.py:
 
 from __future__ import annotations
 
-from typing import Any, Optional
 
 import jax
 import jax.numpy as jnp

@@ -10,7 +10,7 @@ are compile-time constants of the jitted program:
 
 from __future__ import annotations
 
-from typing import Mapping, Optional
+from typing import Mapping
 
 import jax.numpy as jnp
 import numpy as np

@@ -24,7 +24,6 @@ from graphcast_tpu.models import configs
 from graphcast_tpu.models.base import Predictor
 from graphcast_tpu.models.denoiser import (
     Denoiser, DenoiserArchitectureConfig, NoiseEncoderConfig)
-from graphcast_tpu.models.sparse_transformer import SparseTransformerConfig
 
 # GenCast variable vocabularies (reference: gencast.py:40-71).
 TARGET_SURFACE_VARS = (

@@ -22,7 +22,7 @@ from typing import Callable, Mapping, Optional
 
 import jax.numpy as jnp
 
-from graphcast_tpu.nn.typed_graph import EdgeSetKey, TypedGraph
+from graphcast_tpu.nn.typed_graph import TypedGraph
 from graphcast_tpu.ops import segment
 
 # An update fn takes (*feature_arrays) concatenated on the last axis.
