@@ -43,10 +43,17 @@ class GraphCast(Predictor):
 
   def __init__(self, model_config: configs.ModelConfig,
                task_config: configs.TaskConfig,
-               cache_dir: Optional[str] = None):
+               cache_dir: Optional[str] = None,
+               decode_chunks: int = 1):
+    """decode_chunks > 1 runs the mesh2grid decoder in sequential chunks of
+    grid nodes (exactly equivalent math), bounding peak HBM: at 0.25° the
+    decoder's 3.1M-edge buffers dominate memory, and chunking lets the full
+    0.25°/37-level model run on a 16 GB chip (the reference needs 32 GB,
+    docs/cloud_vm_setup.md:44)."""
     self._mc = model_config
     self._tc = task_config
     self._cache_dir = cache_dir
+    self._decode_chunks = decode_chunks
     self._artifact: Optional[artifact_lib.GridMeshArtifact] = None
 
     latent = model_config.latent_size
@@ -176,6 +183,74 @@ class GraphCast(Predictor):
                                  statics["m2g_receivers"]),
             features=edge_feats)})
 
+  # ----- chunked mesh2grid decode (memory-bounded, exact math) -----
+
+  @staticmethod
+  def _choose_chunks(total: int, requested: int) -> int:
+    """Largest divisor of `total` that is ≤ requested (≥ 1)."""
+    k = min(requested, total)
+    while total % k:
+      k -= 1
+    return k
+
+  def _run_mesh2grid_chunked(self, params, statics, latent_mesh_nodes,
+                             latent_grid_nodes):
+    """The mesh2grid GNN evaluated in sequential grid-node chunks.
+
+    Exploits two static properties: the decoder has exactly 3 edges per grid
+    node (triangle containment, grid_mesh_connectivity.py:104) and edges are
+    receiver-sorted, so each chunk of grid nodes owns one contiguous edge
+    range and the aggregation is a reshape-sum. Peak memory scales with
+    E/num_chunks instead of E.
+    """
+    art = self._artifact
+    gnn = self._mesh2grid_gnn
+    p = params["mesh2grid_gnn"]
+    g_total = art.num_grid_nodes
+    k = self._choose_chunks(g_total, self._decode_chunks)
+    gc = g_total // k
+    batch = latent_mesh_nodes.shape[1]
+    dtype = latent_mesh_nodes.dtype
+
+    # Specs via an abstract template graph (static shapes only).
+    latent = self._mc.latent_size
+    mesh_l = jax.ShapeDtypeStruct((art.num_mesh_nodes, batch, latent), dtype)
+    grid_l = jax.ShapeDtypeStruct((gc, batch, latent), dtype)
+    abstract_statics = jax.tree_util.tree_map(
+        lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), statics)
+    specs = gnn._specs(jax.eval_shape(
+        self._mesh2grid_graph, abstract_statics, mesh_l, grid_l))
+    embed_spec = specs["encoder_edges_mesh2grid"]
+    proc_e_spec = specs["processor_0_edges_mesh2grid"]
+    proc_n_spec = specs["processor_0_nodes_grid_nodes"]
+    dec_spec = specs["decoder_nodes_grid_nodes"]
+
+    e_feats = statics["m2g_edge_features"].astype(dtype).reshape(
+        k, 3 * gc, -1)
+    senders = statics["m2g_senders"].reshape(k, 3 * gc)
+    grid_chunks = latent_grid_nodes.reshape(
+        k, gc, batch, latent)
+    receivers_local = jnp.repeat(
+        jnp.arange(gc, dtype=jnp.int32), 3)
+
+    def decode_chunk(args):
+      grid_chunk, e_feat, senders_chunk = args
+      e_feat_b = _add_batch_second_axis(e_feat, batch)
+      e_lat = embed_spec.apply(p["encoder_edges_mesh2grid"], e_feat_b)
+      e_upd = proc_e_spec.apply_factored_edge_update(
+          p["processor_0_edges_mesh2grid"], e_lat,
+          latent_mesh_nodes, grid_chunk, senders_chunk, receivers_local)
+      # Exactly 3 receiver-sorted edges per grid node: aggregation is a
+      # reshape-sum (replaces the scatter-add entirely).
+      agg = e_upd.reshape(gc, 3, batch, latent).sum(axis=1)
+      n_upd = proc_n_spec.apply(
+          p["processor_0_nodes_grid_nodes"], grid_chunk, agg)
+      n_res = grid_chunk + n_upd
+      return dec_spec.apply(p["decoder_nodes_grid_nodes"], n_res)
+
+    out = jax.lax.map(decode_chunk, (grid_chunks, e_feats, senders))
+    return out.reshape(g_total, batch, -1)
+
   # ----- feature packing -----
 
   def _inputs_to_grid_node_features(self, inputs: FieldSet,
@@ -260,11 +335,15 @@ class GraphCast(Predictor):
 
     # Decode (mesh2grid).
     with jax.named_scope("mesh2grid_gnn"):
-      m2g_out = self._mesh2grid_gnn.apply(
-          params["mesh2grid_gnn"],
-          self._mesh2grid_graph(statics, updated_latent_mesh_nodes,
-                                latent_grid_nodes))
-    output_grid_nodes = m2g_out.nodes["grid_nodes"].features
+      if self._decode_chunks > 1:
+        output_grid_nodes = self._run_mesh2grid_chunked(
+            params, statics, updated_latent_mesh_nodes, latent_grid_nodes)
+      else:
+        m2g_out = self._mesh2grid_gnn.apply(
+            params["mesh2grid_gnn"],
+            self._mesh2grid_graph(statics, updated_latent_mesh_nodes,
+                                  latent_grid_nodes))
+        output_grid_nodes = m2g_out.nodes["grid_nodes"].features
 
     return self._grid_node_outputs_to_prediction(
         output_grid_nodes, targets_template)

@@ -154,3 +154,19 @@ def test_inputs_and_residuals_math():
     last_input = np.asarray(inputs[name].isel("time", -1).data)
     got = np.asarray(preds[name].isel("time", 0).data)
     np.testing.assert_allclose(got, last_input, rtol=1e-5)
+
+
+def test_chunked_decode_matches_full():
+  """decode_chunks > 1 must be numerically equivalent to the full decoder."""
+  inputs, targets, forcings = synthetic.make_example_batch(
+      TINY_TASK, resolution=30.0, batch=2)
+  rng = jax.random.PRNGKey(0)
+  m_full = GraphCast(TINY_MODEL, TINY_TASK, cache_dir="")
+  m_chunk = GraphCast(TINY_MODEL, TINY_TASK, cache_dir="", decode_chunks=4)
+  params = m_full.init(rng, inputs, targets, forcings)
+  out_full = m_full(params, rng, inputs, targets, forcings)
+  out_chunk = m_chunk(params, rng, inputs, targets, forcings)
+  for n in targets.var_names:
+    np.testing.assert_allclose(
+        np.asarray(out_chunk.data(n)), np.asarray(out_full.data(n)),
+        rtol=2e-5, atol=2e-5)
