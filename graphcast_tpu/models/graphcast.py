@@ -44,7 +44,8 @@ class GraphCast(Predictor):
   def __init__(self, model_config: configs.ModelConfig,
                task_config: configs.TaskConfig,
                cache_dir: Optional[str] = None,
-               decode_chunks: int = 1):
+               decode_chunks: int = 1,
+               encode_chunks: int = 1):
     """decode_chunks > 1 runs the mesh2grid decoder in sequential chunks of
     grid nodes (exactly equivalent math), bounding peak HBM: at 0.25° the
     decoder's 3.1M-edge buffers dominate memory, and chunking lets the full
@@ -54,6 +55,7 @@ class GraphCast(Predictor):
     self._tc = task_config
     self._cache_dir = cache_dir
     self._decode_chunks = decode_chunks
+    self._encode_chunks = encode_chunks
     self._artifact: Optional[artifact_lib.GridMeshArtifact] = None
 
     latent = model_config.latent_size
@@ -182,6 +184,98 @@ class GraphCast(Predictor):
             indices=EdgesIndices(statics["m2g_senders"],
                                  statics["m2g_receivers"]),
             features=edge_feats)})
+
+  # ----- chunked grid2mesh encode (memory-bounded, exact math) -----
+
+  def _run_grid2mesh_chunked(self, params, statics, grid_node_features):
+    """The grid2mesh GNN evaluated in sequential edge chunks.
+
+    The encoder's edge latents are only consumed by the single aggregation
+    into mesh nodes (the edge set is not reused downstream), so each edge
+    chunk can embed → update → aggregate and be freed: peak memory scales
+    with E/num_chunks instead of E (~1.6M edges at 0.25°).
+    Exactly matches the general path (f32 accumulation across chunks).
+    """
+    art = self._artifact
+    gnn = self._grid2mesh_gnn
+    p = params["grid2mesh_gnn"]
+    latent = self._mc.latent_size
+    batch = grid_node_features.shape[1]
+    dtype = grid_node_features.dtype
+
+    # Node features (with structural concat), embedded in full — these are
+    # needed as outputs anyway.
+    grid_struct = _add_batch_second_axis(
+        statics["grid_node_features"].astype(dtype), batch)
+    mesh_struct = _add_batch_second_axis(
+        statics["mesh_node_features"].astype(dtype), batch)
+    dummy = jnp.zeros((art.num_mesh_nodes,) + grid_node_features.shape[1:],
+                      dtype)
+    grid_in = jnp.concatenate([grid_node_features, grid_struct], axis=-1)
+    mesh_in = jnp.concatenate([dummy, mesh_struct], axis=-1)
+
+    abstract_statics = jax.tree_util.tree_map(
+        lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), statics)
+    specs = gnn._specs(jax.eval_shape(
+        self._grid2mesh_graph, abstract_statics,
+        jax.ShapeDtypeStruct(grid_node_features.shape, dtype)))
+
+    grid_emb = specs["encoder_nodes_grid_nodes"].apply(
+        p["encoder_nodes_grid_nodes"], grid_in)
+    mesh_emb = specs["encoder_nodes_mesh_nodes"].apply(
+        p["encoder_nodes_mesh_nodes"], mesh_in)
+
+    # Pre-project node contributions of the edge MLP's first layer once per
+    # node (the factored-edge-update trick, done outside the chunk loop).
+    pe_spec = specs["processor_0_edges_grid2mesh"]
+    pe = p["processor_0_edges_grid2mesh"]
+    w0 = pe["mlp"]["linear_0"]["w"].astype(dtype)
+    b0 = pe["mlp"]["linear_0"]["b"].astype(dtype)
+    we, ws, wr = w0[:latent], w0[latent:2 * latent], w0[2 * latent:]
+    grid_proj = grid_emb @ ws    # [num_grid, B, latent]
+    mesh_proj = mesh_emb @ wr    # [num_mesh, B, latent]
+
+    e_total = statics["g2m_senders"].shape[0]
+    k = self._choose_chunks(e_total, self._encode_chunks)
+    ec = e_total // k
+    e_feats = statics["g2m_edge_features"].astype(dtype).reshape(k, ec, -1)
+    senders = statics["g2m_senders"].reshape(k, ec)
+    receivers = statics["g2m_receivers"].reshape(k, ec)
+
+    ee_spec = specs["encoder_edges_grid2mesh"]
+    pee = p["encoder_edges_grid2mesh"]
+    from graphcast_tpu.nn.core import get_activation
+    activation = get_activation(gnn.activation)
+    mlp_layers = pe_spec._mlp._layers()
+
+    def encode_chunk(carry, xs):
+      agg = carry
+      e_feat, s_idx, r_idx = xs
+      e_lat = ee_spec.apply(pee, _add_batch_second_axis(e_feat, batch))
+      # Factored first layer of the processor edge MLP.
+      x = e_lat @ we + grid_proj[s_idx] + mesh_proj[r_idx] + b0
+      for i in range(1, len(mlp_layers)):
+        x = activation(x)
+        x = mlp_layers[i].apply(pe["mlp"][f"linear_{i}"], x)
+      x = pe_spec._norm(pe, x, None)
+      # f32 accumulation across chunks (g2m uses f32_aggregation).
+      agg = agg + jax.ops.segment_sum(
+          x.astype(jnp.float32), r_idx, num_segments=art.num_mesh_nodes,
+          indices_are_sorted=True)
+      return agg, None
+
+    agg0 = jnp.zeros((art.num_mesh_nodes, batch, latent), jnp.float32)
+    agg, _ = jax.lax.scan(encode_chunk, agg0, (e_feats, senders, receivers))
+    if gnn.aggregate_normalization:
+      agg = agg / gnn.aggregate_normalization
+    agg = agg.astype(dtype)
+
+    # Node updates + residuals (reference: deep_typed_graph_net.py:373-394).
+    mesh_upd = specs["processor_0_nodes_mesh_nodes"].apply(
+        p["processor_0_nodes_mesh_nodes"], mesh_emb, agg)
+    grid_upd = specs["processor_0_nodes_grid_nodes"].apply(
+        p["processor_0_nodes_grid_nodes"], grid_emb)
+    return mesh_emb + mesh_upd, grid_emb + grid_upd
 
   # ----- chunked mesh2grid decode (memory-bounded, exact math) -----
 
@@ -321,11 +415,15 @@ class GraphCast(Predictor):
 
     # Encode (grid2mesh).
     with jax.named_scope("grid2mesh_gnn"):
-      g2m_out = self._grid2mesh_gnn.apply(
-          params["grid2mesh_gnn"],
-          self._grid2mesh_graph(statics, grid_node_features))
-    latent_mesh_nodes = g2m_out.nodes["mesh_nodes"].features
-    latent_grid_nodes = g2m_out.nodes["grid_nodes"].features
+      if self._encode_chunks > 1:
+        latent_mesh_nodes, latent_grid_nodes = self._run_grid2mesh_chunked(
+            params, statics, grid_node_features)
+      else:
+        g2m_out = self._grid2mesh_gnn.apply(
+            params["grid2mesh_gnn"],
+            self._grid2mesh_graph(statics, grid_node_features))
+        latent_mesh_nodes = g2m_out.nodes["mesh_nodes"].features
+        latent_grid_nodes = g2m_out.nodes["grid_nodes"].features
 
     # Process (multi-mesh).
     with jax.named_scope("mesh_gnn"):

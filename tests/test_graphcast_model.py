@@ -170,3 +170,20 @@ def test_chunked_decode_matches_full():
     np.testing.assert_allclose(
         np.asarray(out_chunk.data(n)), np.asarray(out_full.data(n)),
         rtol=2e-5, atol=2e-5)
+
+
+def test_chunked_encode_matches_full():
+  """encode_chunks > 1 must match the full grid2mesh encoder."""
+  inputs, targets, forcings = synthetic.make_example_batch(
+      TINY_TASK, resolution=30.0, batch=2)
+  rng = jax.random.PRNGKey(0)
+  m_full = GraphCast(TINY_MODEL, TINY_TASK, cache_dir="")
+  m_chunk = GraphCast(TINY_MODEL, TINY_TASK, cache_dir="",
+                      encode_chunks=4, decode_chunks=4)
+  params = m_full.init(rng, inputs, targets, forcings)
+  out_full = m_full(params, rng, inputs, targets, forcings)
+  out_chunk = m_chunk(params, rng, inputs, targets, forcings)
+  for n in targets.var_names:
+    np.testing.assert_allclose(
+        np.asarray(out_chunk.data(n)), np.asarray(out_full.data(n)),
+        rtol=3e-5, atol=3e-5)
