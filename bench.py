@@ -2,14 +2,21 @@
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-Config: GraphCast_small-equivalent (1.0°/13-level grid, mesh-5 multi-mesh,
-latent 512, 16 message-passing steps), random weights, bf16 activations,
-single fully-jitted lax.scan rollout of 40 six-hour steps.
+Default config is the north-star setup (BASELINE.json): 0.25°/37-level grid,
+mesh-6 multi-mesh, latent 512, 16 message-passing steps, random weights,
+bf16 state, one fully-jitted lax.scan of 40 six-hour steps returning the
+final state (at 0.25° the full trajectory is ~25 GB and must stream to host
+— the reference has the same constraint, rollout.py:350-360; the compute
+benchmarked here is the full 40 steps either way). Runs on a 16 GB v5e via
+chunked encode/decode — the reference needs a 32 GB-class chip for this
+config (docs/cloud_vm_setup.md:44).
 
-vs_baseline compares against the driver north-star budget of 60 s for a
-40-step rollout (BASELINE.json; the north star is stated for 0.25°/37-level —
-this round benches the 1.0°/13-level flagship config; value > 1 means faster
-than the 60 s budget).
+vs_baseline = 60 s north-star budget / measured seconds (>1 ⇒ faster than
+target). Falls back to a 1.0°/13-level full-trajectory rollout if the
+0.25° config cannot run (e.g. no compiler service / low memory).
+
+Env knobs: BENCH_RESOLUTION, BENCH_MESH_SIZE, BENCH_NUM_STEPS, BENCH_LATENT,
+BENCH_MSG_STEPS, BENCH_FALLBACK_ONLY=1.
 """
 
 import json
@@ -20,11 +27,120 @@ import time
 import numpy as np
 
 
+def _build(resolution, mesh_size, latent, msg_steps, task,
+           decode_chunks, encode_chunks):
+  from graphcast_tpu.data import synthetic
+  from graphcast_tpu.models import configs
+  from graphcast_tpu.models.graphcast import GraphCast
+  from graphcast_tpu.wrappers import (
+      Autoregressive, Bfloat16Cast, InputsAndResiduals)
+
+  model = configs.ModelConfig(
+      resolution=resolution, mesh_size=mesh_size, latent_size=latent,
+      gnn_msg_steps=msg_steps, hidden_layers=1,
+      radius_query_fraction_edge_length=0.6)
+  stddev, mean, diffs = synthetic.make_norm_stats(task)
+  predictor = Autoregressive(
+      InputsAndResiduals(
+          Bfloat16Cast(GraphCast(model, task, decode_chunks=decode_chunks,
+                                 encode_chunks=encode_chunks)),
+          stddev_by_level=stddev, mean_by_level=mean,
+          diffs_stddev_by_level=diffs),
+      gradient_checkpointing=False)
+  return predictor
+
+
+def _bench_north_star(num_steps):
+  """0.25°/37-level final-state rollout, bf16 device state."""
+  import jax
+  import jax.numpy as jnp
+  from graphcast_tpu.data import synthetic
+  from graphcast_tpu.models import configs
+  from graphcast_tpu.rollout import extend_targets_template
+
+  resolution = float(os.environ.get("BENCH_RESOLUTION", "0.25"))
+  mesh_size = int(os.environ.get("BENCH_MESH_SIZE", "6"))
+  latent = int(os.environ.get("BENCH_LATENT", "512"))
+  msg_steps = int(os.environ.get("BENCH_MSG_STEPS", "16"))
+  task = configs.TASK  # 37 levels
+
+  predictor = _build(resolution, mesh_size, latent, msg_steps, task,
+                     decode_chunks=32, encode_chunks=25)
+  inputs, targets, forcings = synthetic.make_example_batch(
+      task, resolution=resolution, batch=1, num_target_times=1)
+  rng = jax.random.PRNGKey(0)
+  params = predictor.init(rng, inputs, targets, forcings)
+
+  inputs = inputs.astype(jnp.bfloat16)
+  targets1 = targets.astype(jnp.bfloat16)
+  forcings_n = extend_targets_template(forcings, num_steps).astype(
+      jnp.bfloat16)
+  params, inputs, targets1, forcings_n = jax.device_put(
+      (params, inputs, targets1, forcings_n))
+
+  @jax.jit
+  def rollout_final(p, r, inputs, template1, forcings):
+    final = predictor.rollout_final(p, r, inputs, template1, forcings)
+    return jnp.mean(final.data("temperature").astype(jnp.float32))
+
+  t0 = time.perf_counter()
+  v = float(rollout_final(params, rng, inputs, targets1, forcings_n))
+  compile_s = time.perf_counter() - t0
+  assert np.isfinite(v), "non-finite rollout output"
+
+  times = []
+  for i in range(3):
+    r = jax.random.PRNGKey(i)
+    t0 = time.perf_counter()
+    float(rollout_final(params, r, inputs, targets1, forcings_n))
+    times.append(time.perf_counter() - t0)
+  steady = min(times)
+  metric = (f"graphcast_{resolution}deg_37lev_mesh{mesh_size}_"
+            f"{num_steps}step_rollout")
+  return metric, steady, compile_s
+
+
+def _bench_fallback(num_steps):
+  """1.0°/13-level full-trajectory rollout."""
+  import jax
+  import jax.numpy as jnp
+  from graphcast_tpu.data import synthetic
+  from graphcast_tpu.models import configs
+  from graphcast_tpu.rollout import extend_targets_template
+
+  task = configs.TASK_13
+  predictor = _build(1.0, 5, 512, 16, task, 1, 1)
+  inputs, targets, forcings = synthetic.make_example_batch(
+      task, resolution=1.0, batch=1, num_target_times=2)
+  targets = extend_targets_template(targets, num_steps)
+  forcings_n = extend_targets_template(forcings, num_steps)
+  rng = jax.random.PRNGKey(0)
+  params = predictor.init(rng, inputs, targets, forcings_n)
+  params, inputs, targets, forcings_n = jax.device_put(
+      (params, inputs, targets, forcings_n))
+
+  @jax.jit
+  def rollout_fn(p, r, inputs, targets_template, forcings):
+    preds = predictor(p, r, inputs, targets_template, forcings)
+    return jnp.mean(preds.data("temperature").astype(jnp.float32))
+
+  t0 = time.perf_counter()
+  v = float(rollout_fn(params, rng, inputs, targets, forcings_n))
+  compile_s = time.perf_counter() - t0
+  assert np.isfinite(v)
+  times = []
+  for i in range(3):
+    r = jax.random.PRNGKey(i)
+    t0 = time.perf_counter()
+    float(rollout_fn(params, r, inputs, targets, forcings_n))
+    times.append(time.perf_counter() - t0)
+  return (f"graphcast_1.0deg_13lev_mesh5_{num_steps}step_rollout",
+          min(times), compile_s)
+
+
 def main():
   import jax
   try:
-    # Persistent compile cache: large-grid programs (0.25°) take minutes to
-    # compile; cache across runs.
     cache = os.environ.get(
         "JAX_COMPILATION_CACHE_DIR",
         os.path.join(os.path.expanduser("~"), ".cache", "graphcast_tpu",
@@ -34,87 +150,28 @@ def main():
   except Exception:
     pass
 
-  from graphcast_tpu.data import synthetic
-  from graphcast_tpu.models import configs
-  from graphcast_tpu.rollout import extend_targets_template
-  from graphcast_tpu.models.graphcast import GraphCast
-  from graphcast_tpu.wrappers import (
-      Autoregressive, Bfloat16Cast, InputsAndResiduals)
-
   num_steps = int(os.environ.get("BENCH_NUM_STEPS", "40"))
-  resolution = float(os.environ.get("BENCH_RESOLUTION", "1.0"))
-  mesh_size = int(os.environ.get("BENCH_MESH_SIZE", "5"))
-  latent = int(os.environ.get("BENCH_LATENT", "512"))
-  msg_steps = int(os.environ.get("BENCH_MSG_STEPS", "16"))
+  baseline_budget_s = 60.0  # BASELINE.json north star for the 40-step rollout
 
-  task = configs.TASK_13
-  model = configs.ModelConfig(
-      resolution=resolution, mesh_size=mesh_size, latent_size=latent,
-      gnn_msg_steps=msg_steps, hidden_layers=1,
-      radius_query_fraction_edge_length=0.6)
+  metric = steady = compile_s = None
+  if not os.environ.get("BENCH_FALLBACK_ONLY"):
+    try:
+      metric, steady, compile_s = _bench_north_star(num_steps)
+    except Exception as e:  # OOM / no compile service → fall back
+      print(f"# north-star config failed ({type(e).__name__}); "
+            f"falling back to 1.0deg", file=sys.stderr)
+  if metric is None:
+    metric, steady, compile_s = _bench_fallback(num_steps)
 
-  stddev, mean, diffs = synthetic.make_norm_stats(task)
-  predictor = Autoregressive(
-      InputsAndResiduals(
-          Bfloat16Cast(GraphCast(model, task)),
-          stddev_by_level=stddev, mean_by_level=mean,
-          diffs_stddev_by_level=diffs),
-      gradient_checkpointing=False)
-
-  inputs, targets, forcings = synthetic.make_example_batch(
-      task, resolution=resolution, batch=1, num_target_times=2)
-  targets = extend_targets_template(targets, num_steps)
-  forcings_fs = extend_targets_template(forcings, num_steps)
-
-  rng = jax.random.PRNGKey(0)
-  t0 = time.perf_counter()
-  params = predictor.init(rng, inputs, targets, forcings_fs)
-  init_s = time.perf_counter() - t0
-
-  # Keep all operands device-resident (as in a real serving loop) so we
-  # measure compute, not host→device transfer of the initial state.
-  inputs, targets, forcings_fs = jax.device_put((inputs, targets,
-                                                 forcings_fs))
-
-  import jax.numpy as jnp
-
-  @jax.jit
-  def rollout_fn(params, rng, inputs, targets_template, forcings, scale):
-    # The returned scalar forces full execution on readback — on some
-    # backends (axon tunnel) block_until_ready alone does not block.
-    preds = predictor(params, rng, inputs * scale, targets_template, forcings)
-    return preds, jnp.mean(preds.data("temperature").astype(jnp.float32))
-
-  # Compile + first run.
-  t0 = time.perf_counter()
-  preds, mean = rollout_fn(params, rng, inputs, targets, forcings_fs, 1.0)
-  float(mean)
-  compile_s = time.perf_counter() - t0
-
-  # Steady state (best of 3); vary an input scalar so no run can be cached.
-  times = []
-  for i in range(3):
-    t0 = time.perf_counter()
-    preds, mean = rollout_fn(params, rng, inputs, targets, forcings_fs,
-                             1.0 + 1e-6 * i)
-    float(mean)
-    times.append(time.perf_counter() - t0)
-  steady_s = min(times)
-
-  assert np.isfinite(float(mean)), "NaN output"
-
-  baseline_budget_s = 60.0
   result = {
-      "metric": f"graphcast_{resolution}deg_13lev_mesh{mesh_size}_"
-                f"{num_steps}step_rollout",
-      "value": round(steady_s, 3),
+      "metric": metric,
+      "value": round(steady, 3),
       "unit": "s",
-      "vs_baseline": round(baseline_budget_s / steady_s, 3),
+      "vs_baseline": round(baseline_budget_s / steady, 3),
   }
   print(json.dumps(result))
-  print(f"# init={init_s:.1f}s compile+first={compile_s:.1f}s "
-        f"steady={steady_s:.3f}s device={jax.devices()[0].device_kind}",
-        file=sys.stderr)
+  print(f"# compile+first={compile_s:.1f}s steady={steady:.3f}s "
+        f"device={jax.devices()[0].device_kind}", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -137,6 +137,46 @@ class Autoregressive(WrapperPredictor):
       fields[name] = Field(jnp.moveaxis(ys[name], 0, t_axis), tf.dims)
     return FieldSet(fields, coords=targets_template.coords)
 
+  def rollout_final(self, params, rng, inputs, targets_template, forcings,
+                    **kwargs) -> FieldSet:
+    """Runs the full multi-step rollout but returns only the *final* input
+    window (the state at the last lead time) instead of the stacked
+    trajectory.
+
+    At 0.25° a 40-step trajectory is ~25 GB and cannot live in HBM; when
+    only the end state (or streaming via rollout.chunked_prediction) is
+    needed, this keeps memory flat in the number of steps.
+
+    The number of steps is taken from the forcings' time length, so
+    targets_template only needs a single timestep (a full-horizon template
+    would itself be a multi-GB argument at 0.25°).
+    """
+    constant_inputs, inputs = _split_constant_inputs(
+        inputs, targets_template, forcings)
+    _validate(targets_template, forcings)
+    num_steps = forcings.sizes["time"]
+    inputs = inputs.assign_coords(time=None)
+    template_1 = targets_template.isel(
+        time=slice(0, 1)).assign_coords(time=None)
+    forcings = forcings.assign_coords(time=None)
+    forcings_xs = _to_scan_xs(forcings)
+    forcings_template = forcings.isel(time=slice(0, 1))
+    rngs = jax.random.split(rng, num_steps)
+
+    def step(window, xs):
+      step_rng, forcing_slices = xs
+      forcings_t = _from_scan_x(forcing_slices, forcings_template)
+      all_inputs = FieldSet.merge([constant_inputs, window])
+      predictions = self._predictor(
+          params, step_rng, all_inputs, template_1, forcings_t, **kwargs)
+      next_frame = FieldSet.merge([predictions, forcings_t])
+      return _update_window(window, next_frame), None
+
+    if self._gradient_checkpointing and num_steps > 1:
+      step = jax.checkpoint(step)
+    final_window, _ = jax.lax.scan(step, inputs, (rngs, forcings_xs))
+    return final_window
+
   def loss(self, params, rng, inputs, targets, forcings, **kwargs):
     if targets.sizes["time"] == 1:
       # Delegate directly; no AR feedback needed
