@@ -45,7 +45,8 @@ class GraphCast(Predictor):
                task_config: configs.TaskConfig,
                cache_dir: Optional[str] = None,
                decode_chunks: int = 1,
-               encode_chunks: int = 1):
+               encode_chunks: int = 1,
+               fused_aggregation: Optional[bool] = None):
     """decode_chunks > 1 runs the mesh2grid decoder in sequential chunks of
     grid nodes (exactly equivalent math), bounding peak HBM: at 0.25° the
     decoder's 3.1M-edge buffers dominate memory, and chunking lets the full
@@ -56,6 +57,7 @@ class GraphCast(Predictor):
     self._cache_dir = cache_dir
     self._decode_chunks = decode_chunks
     self._encode_chunks = encode_chunks
+    self._fused_aggregation = fused_aggregation
     self._artifact: Optional[artifact_lib.GridMeshArtifact] = None
 
     latent = model_config.latent_size
@@ -114,6 +116,19 @@ class GraphCast(Predictor):
             self._mc.mesh2grid_edge_normalization_factor),
         multimesh=True,
         cache_dir=self._cache_dir)
+    fused = self._fused_aggregation
+    if fused is None:
+      # Measured: +14% full-rollout at mesh-5; neutral-to-negative at mesh-6
+      # (grid GNNs dominate there). Opt in explicitly to override.
+      fused = jax.default_backend() == "tpu" and self._mc.mesh_size <= 5
+    if fused:
+      # One-hot MXU aggregation for the multi-mesh hot loop (16 scatter-adds
+      # per step otherwise dominate: ~26 GB/s effective on segment_sum).
+      from graphcast_tpu.ops.pallas_mp import BlockedSegmentSum
+      self._mesh_gnn.edge_aggregators = {
+          "mesh": BlockedSegmentSum(
+              self._artifact.mesh.receivers, self._artifact.num_mesh_nodes,
+              block_nodes=256, chunk_edges=1024)}
 
   def _statics(self, params) -> dict:
     """Graph data threaded as jit arguments when present in params

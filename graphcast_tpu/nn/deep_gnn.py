@@ -53,6 +53,10 @@ class DeepGraphNet:
   # (exactly equivalent algebra, fewer FLOPs; see
   # core.MLPWithNorm.apply_factored_edge_update).
   factored_edge_updates: bool = True
+  # Optional per-edge-set fused receiver aggregators (e.g.
+  # ops.pallas_mp.BlockedSegmentSum); falls back to segment_sum when absent
+  # or when shapes don't fit the kernel (batch > 1).
+  edge_aggregators: Optional[Mapping[str, object]] = None
 
   # ----- spec construction (all static) -----
 
@@ -192,7 +196,13 @@ class DeepGraphNet:
         else None)
 
     # 3. Process with residuals (reference: deep_typed_graph_net.py:373-394).
-    def aggregate(data, receivers, num_nodes):
+    def aggregate(data, receivers, num_nodes, edge_set_name=None):
+      fused = (self.edge_aggregators or {}).get(edge_set_name)
+      if fused is not None and data.ndim == 3 and data.shape[1] == 1:
+        out = fused(data)  # f32 accumulation inside the kernel
+        if self.aggregate_normalization is not None:
+          out = out / self.aggregate_normalization
+        return out
       return segment.aggregate_edges_for_nodes(
           data, receivers, num_nodes,
           f32_aggregation=self.f32_aggregation,

@@ -30,7 +30,8 @@ UpdateFn = Callable[..., jnp.ndarray]
 AggregateFn = Callable[[jnp.ndarray, jnp.ndarray, int], jnp.ndarray]
 
 
-def default_aggregation(data, receivers, num_nodes):
+def default_aggregation(data, receivers, num_nodes, edge_set_name=None):
+  del edge_set_name
   return segment.aggregate_edges_for_nodes(data, receivers, num_nodes)
 
 
@@ -81,12 +82,15 @@ def apply_graph_network(
     if include_sent_messages_in_node_update:
       for key, edge_set in graph.edges.items():
         if key.node_sets[0] == node_set_name:
+          # Sender aggregation is unsorted; never use fused receiver kernels.
           inputs.append(aggregate_edges_for_nodes_fn(
-              edge_set.features, edge_set.indices.senders, num_nodes))
+              edge_set.features, edge_set.indices.senders, num_nodes,
+              edge_set_name=None))
     for key, edge_set in graph.edges.items():
       if key.node_sets[1] == node_set_name:
         inputs.append(aggregate_edges_for_nodes_fn(
-            edge_set.features, edge_set.indices.receivers, num_nodes))
+            edge_set.features, edge_set.indices.receivers, num_nodes,
+            edge_set_name=key.name))
     updated_nodes[node_set_name] = node_set._replace(
         features=node_fn(*inputs))
   graph = graph._replace(nodes=updated_nodes)

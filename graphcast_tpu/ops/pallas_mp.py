@@ -49,7 +49,7 @@ def _agg_kernel(chunk_base, num_chunks, node_base, receivers_ref,
   @pl.when(j < num_chunks[i])
   def _compute():
     base = node_base[i]
-    recv = receivers_ref[0]  # [chunk_edges] int32
+    recv = receivers_ref[:]  # [chunk_edges] int32
     node_ids = jax.lax.broadcasted_iota(
         jnp.int32, (block_nodes, chunk_edges), 0) + base
     onehot = (node_ids == recv[None, :]).astype(messages_ref.dtype)
@@ -73,6 +73,7 @@ class BlockedSegmentSum:
       raise ValueError("receivers must be sorted")
     self.num_nodes = num_nodes
     self.num_edges = int(receivers.shape[0])
+    self.original_receivers = receivers
     self.block_nodes = block_nodes
     self.chunk_edges = chunk_edges
     self._interpret = interpret
@@ -113,7 +114,15 @@ class BlockedSegmentSum:
     return self.layout_index.shape[0] / max(self.num_edges, 1)
 
   def __call__(self, messages):
-    """messages: [num_edges, C] → [num_nodes, C] sums."""
+    """messages: [num_edges, C] → [num_nodes, C] sums. Differentiable
+    (the VJP of a segment sum is the gather d_messages = g[receivers])."""
+    if messages.ndim == 3 and messages.shape[1] == 1:
+      # [E, batch=1, C] convenience path for the GNN layout.
+      return self(messages[:, 0])[:, None]
+    receivers = jnp.asarray(self.receivers_layout.reshape(-1))
+    return _blocked_segment_sum(messages, self, receivers)
+
+  def _forward(self, messages):
     interpret = self._interpret
     if interpret is None:
       interpret = jax.default_backend() != "tpu"
@@ -136,10 +145,9 @@ class BlockedSegmentSum:
             in_specs=[
                 # Clamp so inactive trailing chunks (j ≥ num_chunks[i]) stay
                 # in bounds; their compute is skipped by pl.when.
-                pl.BlockSpec((1, self.chunk_edges),
+                pl.BlockSpec((self.chunk_edges,),
                              lambda i, j, cb, nc, nb: (
-                                 jnp.minimum(cb[i] + j, total_chunks - 1),
-                                 0)),
+                                 jnp.minimum(cb[i] + j, total_chunks - 1),)),
                 pl.BlockSpec((self.chunk_edges, c),
                              lambda i, j, cb, nc, nb: (
                                  jnp.minimum(cb[i] + j, total_chunks - 1),
@@ -155,6 +163,43 @@ class BlockedSegmentSum:
             (self.num_node_blocks, self.block_nodes, c), messages.dtype),
         interpret=interpret,
     )(jnp.asarray(self.chunk_base), jnp.asarray(self.num_chunks),
-      jnp.asarray(self.node_base), jnp.asarray(self.receivers_layout), msgs)
+      jnp.asarray(self.node_base),
+      jnp.asarray(self.receivers_layout.reshape(-1)), msgs)
     return out.reshape(self.num_node_blocks * self.block_nodes,
                        c)[:self.num_nodes]
+
+
+class _SummerHolder:
+  """Hashable identity wrapper for custom_vjp static args."""
+
+  def __init__(self, summer):
+    self.summer = summer
+
+  def __hash__(self):
+    return id(self.summer)
+
+  def __eq__(self, other):
+    return isinstance(other, _SummerHolder) and other.summer is self.summer
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _blocked_segment_sum_impl(messages, holder, receivers_unused):
+  return holder.summer._forward(messages)
+
+
+def _bss_fwd(messages, holder, receivers_unused):
+  return holder.summer._forward(messages), None
+
+
+def _bss_bwd(holder, _, g):
+  # d messages[e] = g[receivers[e]] — a plain gather over the ORIGINAL
+  # (unpadded) receiver list.
+  d_messages = g[jnp.asarray(holder.summer.original_receivers)]
+  return (d_messages, None)
+
+
+_blocked_segment_sum_impl.defvjp(_bss_fwd, _bss_bwd)
+
+
+def _blocked_segment_sum(messages, summer, receivers):
+  return _blocked_segment_sum_impl(messages, _SummerHolder(summer), receivers)
