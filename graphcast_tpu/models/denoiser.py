@@ -111,10 +111,18 @@ class DenoiserArchitecture:
 
   def __init__(self, cfg: DenoiserArchitectureConfig,
                cache_dir: Optional[str] = None,
-               interpret_attention: Optional[bool] = None):
+               interpret_attention: Optional[bool] = None,
+               decode_chunks: int = 1,
+               encode_chunks: int = 1):
+    """decode_chunks / encode_chunks > 1 run the mesh2grid / grid2mesh GNNs
+    in sequential chunks (exact math; see models/graphcast.py) — at 0.25°
+    this fits the denoiser on a 16 GB chip where the reference needs 32 GB
+    HBM (docs/cloud_vm_setup.md:43-44)."""
     self._cfg = cfg
     self._cache_dir = cache_dir
     self._interpret_attention = interpret_attention
+    self._decode_chunks = decode_chunks
+    self._encode_chunks = encode_chunks
     self._artifact: Optional[artifact_lib.GridMeshArtifact] = None
     self._mesh_transformer: Optional[MeshTransformer] = None
 
@@ -280,6 +288,147 @@ class DenoiserArchitecture:
     params["graph_statics"] = statics
     return params
 
+
+  @staticmethod
+  def _choose_chunks(total: int, requested: int) -> int:
+    k = min(requested, total)
+    while total % k:
+      k -= 1
+    return k
+
+  def _run_grid2mesh_chunked(self, params, statics, grid_node_features,
+                             cond):
+    """Chunked grid2mesh encode with norm conditioning (exact math; see
+    models/graphcast.py:_run_grid2mesh_chunked for the scheme)."""
+    art = self._artifact
+    gnn = self._grid2mesh_gnn
+    p = params["grid2mesh_gnn"]
+    latent = self._cfg.latent_size
+    batch = grid_node_features.shape[1]
+    dtype = grid_node_features.dtype
+    gnc = cond[None]  # broadcast over the node/edge axis
+
+    grid_struct = _add_batch_second_axis(
+        statics["grid_node_features"].astype(dtype), batch)
+    mesh_struct = _add_batch_second_axis(
+        statics["mesh_node_features"].astype(dtype), batch)
+    dummy = jnp.zeros((art.num_mesh_nodes,) + grid_node_features.shape[1:],
+                      dtype)
+    grid_in = jnp.concatenate([grid_node_features, grid_struct], axis=-1)
+    mesh_in = jnp.concatenate([dummy, mesh_struct], axis=-1)
+
+    abstract_statics = jax.tree_util.tree_map(
+        lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), statics)
+    specs = gnn._specs(jax.eval_shape(
+        self._grid2mesh_graph, abstract_statics,
+        jax.ShapeDtypeStruct(grid_node_features.shape, dtype)))
+
+    grid_emb = specs["encoder_nodes_grid_nodes"].apply(
+        p["encoder_nodes_grid_nodes"], grid_in, global_norm_conditioning=gnc)
+    mesh_emb = specs["encoder_nodes_mesh_nodes"].apply(
+        p["encoder_nodes_mesh_nodes"], mesh_in, global_norm_conditioning=gnc)
+
+    pe_spec = specs["processor_0_edges_grid2mesh"]
+    pe = p["processor_0_edges_grid2mesh"]
+    w0 = pe["mlp"]["linear_0"]["w"].astype(dtype)
+    b0 = pe["mlp"]["linear_0"]["b"].astype(dtype)
+    we, ws, wr = w0[:latent], w0[latent:2 * latent], w0[2 * latent:]
+    grid_proj = grid_emb @ ws
+    mesh_proj = mesh_emb @ wr
+
+    e_total = statics["g2m_senders"].shape[0]
+    k = self._choose_chunks(e_total, self._encode_chunks)
+    ec = e_total // k
+    e_feats = statics["g2m_edge_features"].astype(dtype).reshape(k, ec, -1)
+    senders = statics["g2m_senders"].reshape(k, ec)
+    receivers = statics["g2m_receivers"].reshape(k, ec)
+
+    ee_spec = specs["encoder_edges_grid2mesh"]
+    pee = p["encoder_edges_grid2mesh"]
+    from graphcast_tpu.nn.core import get_activation
+    activation = get_activation(gnn.activation)
+    mlp_layers = pe_spec._mlp._layers()
+
+    def encode_chunk(carry, xs):
+      agg = carry
+      e_feat, s_idx, r_idx = xs
+      e_lat = ee_spec.apply(pee, _add_batch_second_axis(e_feat, batch),
+                            global_norm_conditioning=gnc)
+      x = e_lat @ we + grid_proj[s_idx] + mesh_proj[r_idx] + b0
+      for i in range(1, len(mlp_layers)):
+        x = activation(x)
+        x = mlp_layers[i].apply(pe["mlp"][f"linear_{i}"], x)
+      x = pe_spec._norm(pe, x, gnc)
+      agg = agg + jax.ops.segment_sum(
+          x.astype(jnp.float32), r_idx, num_segments=art.num_mesh_nodes,
+          indices_are_sorted=True)
+      return agg, None
+
+    agg0 = jnp.zeros((art.num_mesh_nodes, batch, latent), jnp.float32)
+    agg, _ = jax.lax.scan(encode_chunk, agg0, (e_feats, senders, receivers))
+    if gnn.aggregate_normalization:
+      agg = agg / gnn.aggregate_normalization
+    agg = agg.astype(dtype)
+
+    mesh_upd = specs["processor_0_nodes_mesh_nodes"].apply(
+        p["processor_0_nodes_mesh_nodes"], mesh_emb, agg,
+        global_norm_conditioning=gnc)
+    grid_upd = specs["processor_0_nodes_grid_nodes"].apply(
+        p["processor_0_nodes_grid_nodes"], grid_emb,
+        global_norm_conditioning=gnc)
+    return mesh_emb + mesh_upd, grid_emb + grid_upd
+
+  def _run_mesh2grid_chunked(self, params, statics, latent_mesh_nodes,
+                             latent_grid_nodes, cond):
+    """Chunked mesh2grid decode with norm conditioning (exact math; see
+    models/graphcast.py:_run_mesh2grid_chunked for the scheme)."""
+    art = self._artifact
+    gnn = self._mesh2grid_gnn
+    p = params["mesh2grid_gnn"]
+    g_total = art.num_grid_nodes
+    k = self._choose_chunks(g_total, self._decode_chunks)
+    gc = g_total // k
+    batch = latent_mesh_nodes.shape[1]
+    dtype = latent_mesh_nodes.dtype
+    latent = self._cfg.latent_size
+    gnc = cond[None]
+
+    mesh_l = jax.ShapeDtypeStruct((art.num_mesh_nodes, batch, latent), dtype)
+    grid_l = jax.ShapeDtypeStruct((gc, batch, latent), dtype)
+    abstract_statics = jax.tree_util.tree_map(
+        lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), statics)
+    specs = gnn._specs(jax.eval_shape(
+        self._mesh2grid_graph, abstract_statics, mesh_l, grid_l))
+    embed_spec = specs["encoder_edges_mesh2grid"]
+    proc_e_spec = specs["processor_0_edges_mesh2grid"]
+    proc_n_spec = specs["processor_0_nodes_grid_nodes"]
+    dec_spec = specs["decoder_nodes_grid_nodes"]
+
+    e_feats = statics["m2g_edge_features"].astype(dtype).reshape(
+        k, 3 * gc, -1)
+    senders = statics["m2g_senders"].reshape(k, 3 * gc)
+    grid_chunks = latent_grid_nodes.reshape(k, gc, batch, latent)
+    receivers_local = jnp.repeat(jnp.arange(gc, dtype=jnp.int32), 3)
+
+    def decode_chunk(args):
+      grid_chunk, e_feat, senders_chunk = args
+      e_feat_b = _add_batch_second_axis(e_feat, batch)
+      e_lat = embed_spec.apply(p["encoder_edges_mesh2grid"], e_feat_b,
+                               global_norm_conditioning=gnc)
+      e_upd = proc_e_spec.apply_factored_edge_update(
+          p["processor_0_edges_mesh2grid"], e_lat,
+          latent_mesh_nodes, grid_chunk, senders_chunk, receivers_local,
+          global_norm_conditioning=gnc)
+      agg = e_upd.reshape(gc, 3, batch, latent).sum(axis=1)
+      n_upd = proc_n_spec.apply(
+          p["processor_0_nodes_grid_nodes"], grid_chunk, agg,
+          global_norm_conditioning=gnc)
+      n_res = grid_chunk + n_upd
+      return dec_spec.apply(p["decoder_nodes_grid_nodes"], n_res)
+
+    out = jax.lax.map(decode_chunk, (grid_chunks, e_feats, senders))
+    return out.reshape(g_total, batch, -1)
+
   def apply(self, params: core.Params, inputs: FieldSet,
             targets_template: FieldSet, forcings: FieldSet) -> FieldSet:
     grid_node_features, cond = self._split_features_and_conditioning(
@@ -288,24 +437,32 @@ class DenoiserArchitecture:
 
     statics = self._statics(params)
     with jax.named_scope("grid2mesh_gnn"):
-      g2m_out = self._grid2mesh_gnn.apply(
-          params["grid2mesh_gnn"],
-          self._grid2mesh_graph(statics, grid_node_features),
-          global_norm_conditioning=cond)
-    latent_mesh_nodes = g2m_out.nodes["mesh_nodes"].features
-    latent_grid_nodes = g2m_out.nodes["grid_nodes"].features
+      if self._encode_chunks > 1:
+        latent_mesh_nodes, latent_grid_nodes = self._run_grid2mesh_chunked(
+            params, statics, grid_node_features, cond)
+      else:
+        g2m_out = self._grid2mesh_gnn.apply(
+            params["grid2mesh_gnn"],
+            self._grid2mesh_graph(statics, grid_node_features),
+            global_norm_conditioning=cond)
+        latent_mesh_nodes = g2m_out.nodes["mesh_nodes"].features
+        latent_grid_nodes = g2m_out.nodes["grid_nodes"].features
 
     with jax.named_scope("mesh_transformer"):
       updated_mesh = self._mesh_transformer.apply(
           params["mesh_transformer"], latent_mesh_nodes, cond)
 
     with jax.named_scope("mesh2grid_gnn"):
-      m2g_out = self._mesh2grid_gnn.apply(
-          params["mesh2grid_gnn"],
-          self._mesh2grid_graph(statics, updated_mesh, latent_grid_nodes),
-          global_norm_conditioning=cond)
-    return self._outputs_to_prediction(
-        m2g_out.nodes["grid_nodes"].features, targets_template)
+      if self._decode_chunks > 1:
+        output_grid_nodes = self._run_mesh2grid_chunked(
+            params, statics, updated_mesh, latent_grid_nodes, cond)
+      else:
+        m2g_out = self._mesh2grid_gnn.apply(
+            params["mesh2grid_gnn"],
+            self._mesh2grid_graph(statics, updated_mesh, latent_grid_nodes),
+            global_norm_conditioning=cond)
+        output_grid_nodes = m2g_out.nodes["grid_nodes"].features
+    return self._outputs_to_prediction(output_grid_nodes, targets_template)
 
 
 class Denoiser:
@@ -315,10 +472,13 @@ class Denoiser:
   def __init__(self, noise_encoder_config: Optional[NoiseEncoderConfig],
                architecture_config: DenoiserArchitectureConfig,
                cache_dir: Optional[str] = None,
-               interpret_attention: Optional[bool] = None):
+               interpret_attention: Optional[bool] = None,
+               decode_chunks: int = 1,
+               encode_chunks: int = 1):
     self._architecture = DenoiserArchitecture(
         architecture_config, cache_dir=cache_dir,
-        interpret_attention=interpret_attention)
+        interpret_attention=interpret_attention,
+        decode_chunks=decode_chunks, encode_chunks=encode_chunks)
     self._noise_encoder = FourierFeaturesMLP(
         noise_encoder_config or NoiseEncoderConfig())
 

@@ -106,13 +106,16 @@ class GenCast(Predictor):
                noise_config: Optional[NoiseConfig] = None,
                noise_encoder_config: Optional[NoiseEncoderConfig] = None,
                cache_dir: Optional[str] = None,
-               interpret_attention: Optional[bool] = None):
+               interpret_attention: Optional[bool] = None,
+               decode_chunks: int = 1,
+               encode_chunks: int = 1):
     num_outputs = configs.num_output_channels(task_config)
     denoiser_architecture_config = dataclasses.replace(
         denoiser_architecture_config, node_output_size=num_outputs)
     self._denoiser = Denoiser(
         noise_encoder_config, denoiser_architecture_config,
-        cache_dir=cache_dir, interpret_attention=interpret_attention)
+        cache_dir=cache_dir, interpret_attention=interpret_attention,
+        decode_chunks=decode_chunks, encode_chunks=encode_chunks)
     self._sampler_config = sampler_config
     self._noise_config = noise_config
     self._task_config = task_config

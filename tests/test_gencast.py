@@ -159,3 +159,21 @@ def test_gencast_autoregressive_rollout():
   assert np.isfinite(data).all()
   # Different sampled trajectories at different steps.
   assert not np.allclose(data[:, 0], data[:, 2])
+
+
+def test_denoiser_chunked_matches_full():
+  """Chunked encode/decode in the denoiser must match the full paths."""
+  import dataclasses as dc
+  full = tiny_gencast()
+  chunked = tiny_gencast()
+  chunked._denoiser._architecture._encode_chunks = 4
+  chunked._denoiser._architecture._decode_chunks = 4
+  inputs, targets, forcings = make_batch(batch=1)
+  rng = jax.random.PRNGKey(0)
+  params = full.init(rng, inputs, targets, forcings)
+  s_full = full(params, rng, inputs, targets, forcings)
+  s_chunk = chunked(params, rng, inputs, targets, forcings)
+  for n in targets.var_names:
+    np.testing.assert_allclose(
+        np.asarray(s_chunk.data(n)), np.asarray(s_full.data(n)),
+        rtol=3e-4, atol=3e-4)
