@@ -67,3 +67,30 @@ def replicate(tree, mesh: Mesh):
   """Fully replicates a pytree (e.g. params) across the mesh."""
   sharding = NamedSharding(mesh, P())
   return jax.device_put(tree, sharding)
+
+
+def shard_params_tensor_parallel(params, mesh: Mesh,
+                                 model_axis: str = "model"):
+  """Tensor-parallel parameter sharding over the mesh's model axis.
+
+  Megatron-style column parallelism for the GNN/transformer MLPs: every 2-D
+  weight has its output (last) dim sharded over ``model_axis`` when it
+  divides evenly, with matching bias sharding; everything else (layer norms,
+  small conditioning layers, graph statics) is replicated. Under jit, XLA's
+  SPMD partitioner propagates these shardings through the matmuls and
+  inserts the ICI collectives.
+  """
+  size = mesh.shape[model_axis]
+
+  def spec_for(path, x):
+    del path
+    if hasattr(x, "ndim") and x.ndim == 2 and x.shape[-1] % size == 0 and (
+        x.shape[-1] >= size * 8):
+      return NamedSharding(mesh, P(None, model_axis))
+    if hasattr(x, "ndim") and x.ndim == 1 and x.shape[0] % size == 0 and (
+        x.shape[0] >= size * 8):
+      return NamedSharding(mesh, P(model_axis))
+    return NamedSharding(mesh, P())
+
+  shardings = jax.tree_util.tree_map_with_path(spec_for, params)
+  return jax.device_put(params, shardings)

@@ -126,3 +126,23 @@ def test_sharded_forward_matches_single_device():
     np.testing.assert_allclose(np.asarray(got.data(n)),
                                np.asarray(expected.data(n)),
                                rtol=2e-2, atol=2e-2)
+
+
+def test_tensor_parallel_forward_matches():
+  """TP-sharded params (model axis) produce the same outputs."""
+  predictor, inputs, targets, forcings = build(num_targets=1, batch=2)
+  rng = jax.random.PRNGKey(0)
+  params = predictor.init(rng, inputs, targets, forcings)
+  fwd = jax.jit(functools.partial(predictor, params))
+  expected = fwd(rng, inputs, targets, forcings)
+
+  mesh = sharding_lib.make_mesh({"batch": 2, "model": 4})
+  params_tp = sharding_lib.shard_params_tensor_parallel(params, mesh)
+  inputs_s, targets_s, forcings_s = sharding_lib.shard_fieldsets(
+      mesh, inputs, targets, forcings)
+  fwd_tp = jax.jit(functools.partial(predictor, params_tp))
+  got = fwd_tp(rng, inputs_s, targets_s, forcings_s)
+  for n in targets.var_names:
+    np.testing.assert_allclose(np.asarray(got.data(n)),
+                               np.asarray(expected.data(n)),
+                               rtol=2e-2, atol=2e-2)
