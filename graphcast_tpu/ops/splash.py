@@ -37,6 +37,19 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
+def _unpack_mask(packed, block_q, block_kv):
+  """[bq, bkv//32] uint32 → [bq, bkv] bool, in-kernel.
+
+  pltpu.repeat *tiles* (lane j gets word j %% nw); packing is strided to
+  match (column j at word j %% nw, bit j // nw).
+  """
+  nw = block_kv // 32
+  words = pltpu.repeat(packed, 32, axis=1)              # [bq, bkv] tiled
+  shifts = (jax.lax.broadcasted_iota(
+      jnp.uint32, (block_q, block_kv), 1) // nw)
+  return ((words >> shifts) & 1) > 0
+
+
 def _build_block_map(mask: sp.csr_matrix, block_q: int, block_kv: int):
   """Compiles a sparse mask into q-block → active-kv-block maps.
 
@@ -84,10 +97,29 @@ def _build_block_map(mask: sp.csr_matrix, block_q: int, block_kv: int):
       n=n, nq=nq, nkv=nkv, ma=ma, mat=mat,
       n_q_pad=n_q_pad, n_kv_pad=n_kv_pad,
       kv_index=kv_index, kv_count=kv_count,
-      mask_blocks=mask_blocks.reshape(nq * ma, block_q, block_kv),
+      mask_blocks=_pack_mask_bits(
+          mask_blocks.reshape(nq * ma, block_q, block_kv)),
       q_index=q_index, q_count=q_count,
-      mask_blocks_t=mask_blocks_t.reshape(nkv * mat, block_q, block_kv),
+      mask_blocks_t=_pack_mask_bits(
+          mask_blocks_t.reshape(nkv * mat, block_q, block_kv)),
   )
+
+
+def _pack_mask_bits(mask: np.ndarray) -> np.ndarray:
+  """[..., bkv] bool → [..., bkv//32] uint32 (bit j of word w = col w*32+j).
+
+  8× smaller HLO constants: at mesh-6/k-hop-16 the dense bool block maps are
+  ~420 MB each and their MLIR text breaks the compile service.
+  """
+  *lead, bkv = mask.shape
+  assert bkv % 32 == 0, bkv
+  nw = bkv // 32
+  # Strided packing: column j lives in word j % nw at bit j // nw, matching
+  # the kernel's pltpu.repeat tiling (word j % nw lands on lane j).
+  bits = mask.reshape(*lead, 32, nw).astype(np.uint32)
+  weights = (np.uint32(1) << np.arange(32, dtype=np.uint32)).reshape(
+      (1,) * len(lead) + (32, 1))
+  return (bits * weights).sum(axis=-2).astype(np.uint32)
 
 
 # ---------------------------------------------------------------------------
@@ -113,7 +145,8 @@ def _fwd_kernel(kv_index, kv_count, q_ref, k_ref, v_ref, mask_ref,
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32) * scale  # [bq, bkv]
-    s = jnp.where(mask_ref[0], s, NEG_INF)
+    mask = _unpack_mask(mask_ref[0], s.shape[0], s.shape[1])
+    s = jnp.where(mask, s, NEG_INF)
 
     m_prev = m_scr[:, :1]                          # [bq, 1]
     m_cur = jnp.max(s, axis=-1, keepdims=True)     # [bq, 1]
@@ -158,7 +191,7 @@ def _fwd(q, k, v, block_map, block_q, block_kv, scale, interpret):
                        lambda b, i, j, kvi, kvc: (b, kvi[i, j], 0)),
           pl.BlockSpec((1, block_kv, d),
                        lambda b, i, j, kvi, kvc: (b, kvi[i, j], 0)),
-          pl.BlockSpec((1, block_q, block_kv),
+          pl.BlockSpec((1, block_q, block_kv // 32),
                        lambda b, i, j, kvi, kvc: (i * ma + j, 0, 0)),
       ],
       out_specs=[
@@ -198,7 +231,8 @@ def _dq_kernel(kv_index, kv_count, q_ref, k_ref, v_ref, mask_ref, do_ref,
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32) * scale
-    s = jnp.where(mask_ref[0], s, NEG_INF)
+    mask = _unpack_mask(mask_ref[0], s.shape[0], s.shape[1])
+    s = jnp.where(mask, s, NEG_INF)
     p = jnp.exp(s - lse_ref[0])                    # [bq, bkv]
     do = do_ref[0]
     dp = jax.lax.dot_general(
@@ -232,7 +266,8 @@ def _dkv_kernel(q_index, q_count, q_ref, k_ref, v_ref, mask_ref, do_ref,
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32) * scale  # [bq, bkv]
-    s = jnp.where(mask_ref[0], s, NEG_INF)
+    mask = _unpack_mask(mask_ref[0], s.shape[0], s.shape[1])
+    s = jnp.where(mask, s, NEG_INF)
     p = jnp.exp(s - lse_ref[0])                      # [bq, bkv]
     do = do_ref[0]                                   # [bq, d]
     dv_scr[:] += jax.lax.dot_general(
@@ -279,7 +314,7 @@ def _bwd(q, k, v, o, lse, do, block_map, block_q, block_kv, scale, interpret):
                            lambda b, i, j, kvi, kvc: (b, kvi[i, j], 0)),
               pl.BlockSpec((1, block_kv, d),
                            lambda b, i, j, kvi, kvc: (b, kvi[i, j], 0)),
-              pl.BlockSpec((1, block_q, block_kv),
+              pl.BlockSpec((1, block_q, block_kv // 32),
                            lambda b, i, j, kvi, kvc: (i * ma + j, 0, 0)),
               pl.BlockSpec((1, block_q, d),
                            lambda b, i, j, kvi, kvc: (b, i, 0)),
@@ -312,7 +347,7 @@ def _bwd(q, k, v, o, lse, do, block_map, block_q, block_kv, scale, interpret):
                            lambda b, j, s, qi, qc: (b, j, 0)),
               pl.BlockSpec((1, block_kv, d),
                            lambda b, j, s, qi, qc: (b, j, 0)),
-              pl.BlockSpec((1, block_q, block_kv),
+              pl.BlockSpec((1, block_q, block_kv // 32),
                            lambda b, j, s, qi, qc: (j * mat + s, 0, 0)),
               pl.BlockSpec((1, block_q, d),
                            lambda b, j, s, qi, qc: (b, qi[j, s], 0)),
