@@ -173,6 +173,8 @@ def gencast_haiku_params_to_native(haiku_params) -> dict[str, Any]:
 def native_gencast_params_to_haiku(native) -> dict[str, Any]:
   """Inverse of gencast_haiku_params_to_native."""
   out: dict[str, Any] = {}
+  native = {k: v for k, v in native.items()
+            if k not in ("noise_statics", "graph_statics")}
   for linear, p in native.get("noise_encoder", {}).items():
     out[f"fourier_features_mlp/~/mlp/~/{linear}"] = {
         "w": np.asarray(p["w"]), "b": np.asarray(p["b"])}

@@ -23,13 +23,15 @@ from graphcast_tpu.ops import sht
 def sample_spherical_noise(key, power_spectrum: np.ndarray,
                            batch_shape: tuple[int, ...],
                            lat: np.ndarray, lon: np.ndarray,
-                           dtype=jnp.float32):
+                           dtype=jnp.float32,
+                           basis_arrays=None):
   """Samples GP noise on the sphere with the given power spectrum.
 
   Returns [*batch_shape, lat, lon]; pointwise variance = sum(power_spectrum).
+  ``basis_arrays`` (see sht.SphericalHarmonicBasis.arrays) lets callers
+  thread the synthesis tensors as jit arguments instead of constants.
   """
   max_l = int(np.shape(power_spectrum)[0])
-  basis = sht.get_basis(lat, lon, max_l)
   # Coefficient variance: 4π·power[l]/(2l+1) split across the 2l+1 real
   # harmonics of total wavenumber l (reference: samplers_utils.py:296-313).
   ls = np.arange(max_l)
@@ -42,11 +44,14 @@ def sample_spherical_noise(key, power_spectrum: np.ndarray,
   shape = tuple(batch_shape) + (max_l, max_l)
   cos_coeffs = jax.random.normal(kc, shape, jnp.float32) * scale
   sin_coeffs = jax.random.normal(ks, shape, jnp.float32) * scale
-  out = basis.synthesize(cos_coeffs, sin_coeffs)
+  if basis_arrays is None:
+    basis_arrays = sht.get_basis(lat, lon, max_l).arrays()
+  out = sht.synthesize_with(basis_arrays, cos_coeffs, sin_coeffs)
   return out.astype(dtype)
 
 
-def spherical_white_noise_like(key, template: FieldSet) -> FieldSet:
+def spherical_white_noise_like(key, template: FieldSet,
+                               basis_arrays=None) -> FieldSet:
   """Unit marginal-variance isotropic white noise matching the template.
 
   Flat power spectrum over n_lon//2 wavenumbers
@@ -65,9 +70,16 @@ def spherical_white_noise_like(key, template: FieldSet) -> FieldSet:
       raise ValueError(
           f"{name}: expected trailing (lat, lon) dims, got {f.dims}")
     noise = sample_spherical_noise(
-        k, power, f.shape[:-2], lat, lon, dtype=f.dtype)
+        k, power, f.shape[:-2], lat, lon, dtype=f.dtype,
+        basis_arrays=basis_arrays)
     fields[name] = Field(noise, f.dims)
   return FieldSet(fields, coords=coords)
+
+
+def white_noise_basis_arrays(lat: np.ndarray, lon: np.ndarray,
+                             dtype=np.float32) -> dict:
+  """Synthesis tensors for white noise on this grid (max_l = n_lon//2)."""
+  return sht.get_basis(lat, lon, lon.shape[0] // 2).arrays(dtype)
 
 
 def rho_inverse_cdf(min_value: float, max_value: float, rho: float, cdf):
@@ -104,13 +116,14 @@ def stochastic_churn_rate_schedule(
 
 def apply_stochastic_churn(key, x: FieldSet, noise_level,
                            stochastic_churn_rate,
-                           noise_level_inflation_factor):
+                           noise_level_inflation_factor,
+                           basis_arrays=None):
   """Renoises x to a slightly higher noise level
   (reference: samplers_utils.py:418-435)."""
   new_noise_level = noise_level * (1.0 + stochastic_churn_rate)
   noise_diff = jnp.maximum(new_noise_level ** 2 - noise_level ** 2, 0.0)
   extra_stddev = jnp.sqrt(noise_diff) * noise_level_inflation_factor
-  noise = spherical_white_noise_like(key, x)
+  noise = spherical_white_noise_like(key, x, basis_arrays=basis_arrays)
   updated = FieldSet(
       {n: Field(x[n].data + noise[n].data.astype(x[n].dtype) *
                 jnp.asarray(extra_stddev, x[n].dtype), x[n].dims)

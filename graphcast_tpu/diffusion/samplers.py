@@ -60,7 +60,11 @@ class DPMSolverPlusPlus2S(Sampler):
     self._noise_level_inflation_factor = noise_level_inflation_factor
 
   def __call__(self, rng, inputs: FieldSet, targets_template: FieldSet,
-               forcings: Optional[FieldSet] = None) -> FieldSet:
+               forcings: Optional[FieldSet] = None,
+               noise_basis=None) -> FieldSet:
+    """noise_basis: optional SHT synthesis tensors threaded as jit args
+    (ops/sht.SphericalHarmonicBasis.arrays) — required at 0.25° where the
+    Legendre tensor must not inline as an HLO constant."""
     dtype = targets_template.dtype() or jnp.float32
     noise_levels = jnp.asarray(self._noise_levels, dtype)
     churn_rates = jnp.asarray(self._per_step_churn_rates, dtype)
@@ -77,7 +81,8 @@ class DPMSolverPlusPlus2S(Sampler):
       key = jax.random.fold_in(rng, i)
       init_key, churn_key = jax.random.split(key)
       init_scale = jnp.where(i == 0, noise_levels[0], 0.0).astype(dtype)
-      init_noise = noise_lib.spherical_white_noise_like(init_key, x)
+      init_noise = noise_lib.spherical_white_noise_like(
+          init_key, x, basis_arrays=noise_basis)
       x = x + init_noise * init_scale
 
       noise_level = noise_levels[i]
@@ -85,7 +90,8 @@ class DPMSolverPlusPlus2S(Sampler):
         x, noise_level = noise_lib.apply_stochastic_churn(
             churn_key, x, noise_level,
             stochastic_churn_rate=churn_rates[i],
-            noise_level_inflation_factor=self._noise_level_inflation_factor)
+            noise_level_inflation_factor=self._noise_level_inflation_factor,
+            basis_arrays=noise_basis)
 
       next_noise_level = noise_levels[i + 1]
       mid_noise_level = jnp.sqrt(noise_level * next_noise_level)

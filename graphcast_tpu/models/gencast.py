@@ -162,8 +162,18 @@ class GenCast(Predictor):
     noise_levels = jnp.ones((batch,), jnp.float32)
     noisy_targets = targets_template.map_data(
         lambda x: jnp.nan_to_num(x, nan=0.0))
-    return self._denoiser.init(rng, inputs, noisy_targets, noise_levels,
-                               forcings)
+    params = self._denoiser.init(rng, inputs, noisy_targets, noise_levels,
+                                 forcings)
+    # Spherical-harmonic synthesis tensors as non-trainable statics: they
+    # must ride as jit arguments (1.5 GB Legendre at 0.25°), not constants.
+    coords = targets_template.coords
+    params["noise_statics"] = noise_lib.white_noise_basis_arrays(
+        coords["lat"], coords["lon"])
+    return params
+
+  @staticmethod
+  def _noise_basis(params):
+    return params.get("noise_statics") if isinstance(params, dict) else None
 
   def __call__(self, params, rng, inputs, targets_template, forcings,
                **kwargs):
@@ -176,7 +186,8 @@ class GenCast(Predictor):
 
     sampler = DPMSolverPlusPlus2S(
         denoiser_fn, **dataclasses.asdict(self._sampler_config))
-    return sampler(rng, inputs, targets_template, forcings)
+    return sampler(rng, inputs, targets_template, forcings,
+                   noise_basis=self._noise_basis(params))
 
   def loss_and_predictions(self, params, rng, inputs, targets, forcings,
                            **kwargs):
@@ -198,7 +209,8 @@ class GenCast(Predictor):
         rho=nc.training_noise_level_rho,
         cdf=jax.random.uniform(level_key, (batch,), dtype))
 
-    noise = noise_lib.spherical_white_noise_like(noise_key, targets)
+    noise = noise_lib.spherical_white_noise_like(
+        noise_key, targets, basis_arrays=self._noise_basis(params))
     noisy_targets = targets + self._scale_by(noise, noise_levels)
 
     denoised = self._preconditioned_denoiser(

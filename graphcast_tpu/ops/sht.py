@@ -75,6 +75,19 @@ class SphericalHarmonicBasis:
     self.m_scale = np.where(np.arange(max_l) == 0, 1.0,
                             np.sqrt(2.0)).astype(np.float32)
 
+  def arrays(self, dtype=np.float32) -> dict:
+    """The synthesis tensors as a pytree — thread these through jitted
+    programs as *arguments* (at 0.25° the Legendre tensor is ~1.5 GB and
+    must not become an HLO constant)."""
+    sin_mask = (np.arange(self.max_l) > 0).astype(np.float32)
+    return {
+        "legendre": self.legendre.astype(dtype),
+        "cos_mat": self.cos_mat.astype(dtype),
+        "sin_mat": self.sin_mat.astype(dtype),
+        "m_scale": (self.m_scale[:, None]).astype(dtype),
+        "sin_mask": (sin_mask[:, None] * self.m_scale[:, None]).astype(dtype),
+    }
+
   def synthesize(self, cos_coeffs, sin_coeffs):
     """Inverse transform of real SH coefficients.
 
@@ -86,20 +99,7 @@ class SphericalHarmonicBasis:
     Returns:
       [..., lat, lon] field.
     """
-    leg = jnp.asarray(self.legendre)
-    # Legendre stage: [..., l, m] x [lat, l, m] -> [..., m, lat]
-    g_c = jnp.einsum("...lm,plm->...mp", cos_coeffs, leg)
-    g_s = jnp.einsum("...lm,plm->...mp", sin_coeffs, leg)
-    scale = jnp.asarray(self.m_scale)[:, None]
-    g_c = g_c * scale
-    g_s = g_s * scale
-    sin_mask = jnp.asarray(
-        (np.arange(self.max_l) > 0).astype(np.float32))[:, None]
-    g_s = g_s * sin_mask
-    # Fourier stage: [..., m, lat] x [m, lon] -> [..., lat, lon]
-    f = (jnp.einsum("...mp,mq->...pq", g_c, jnp.asarray(self.cos_mat))
-         + jnp.einsum("...mp,mq->...pq", g_s, jnp.asarray(self.sin_mat)))
-    return f
+    return synthesize_with(self.arrays(), cos_coeffs, sin_coeffs)
 
 
 @functools.lru_cache(maxsize=8)
@@ -115,3 +115,19 @@ def get_basis(lat_deg, lon_deg, max_l: int) -> SphericalHarmonicBasis:
   lon = np.asarray(lon_deg, np.float64)
   return _cached_basis(lat.tobytes(), lon.tobytes(), lat.shape[0],
                        lon.shape[0], max_l)
+
+
+def synthesize_with(arrays: dict, cos_coeffs, sin_coeffs):
+  """Inverse transform using explicit synthesis tensors (see
+  SphericalHarmonicBasis.arrays); arrays may be numpy, device arrays, or
+  tracers."""
+  leg = jnp.asarray(arrays["legendre"])
+  # Legendre stage: [..., l, m] x [lat, l, m] -> [..., m, lat]
+  g_c = jnp.einsum("...lm,plm->...mp", cos_coeffs, leg)
+  g_s = jnp.einsum("...lm,plm->...mp", sin_coeffs, leg)
+  g_c = g_c * jnp.asarray(arrays["m_scale"])
+  g_s = g_s * jnp.asarray(arrays["sin_mask"])
+  # Fourier stage: [..., m, lat] x [m, lon] -> [..., lat, lon]
+  return (jnp.einsum("...mp,mq->...pq", g_c, jnp.asarray(arrays["cos_mat"]))
+          + jnp.einsum("...mp,mq->...pq", g_s,
+                       jnp.asarray(arrays["sin_mat"])))

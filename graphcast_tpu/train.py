@@ -59,18 +59,19 @@ def make_loss_fn(predictor: Predictor):
   return loss_fn
 
 
-STATICS_KEY = "graph_statics"
+STATICS_KEYS = ("graph_statics", "noise_statics")
+STATICS_KEY = "graph_statics"  # backwards-compat alias
 
 
 def partition_params(params):
   """Splits a params tree into (trainable, statics): any dict entry named
-  "graph_statics" (at any level) is non-trainable graph data threaded as a
-  jit argument (see GridMeshArtifact.graph_statics)."""
+  "graph_statics" or "noise_statics" (at any level) is non-trainable data
+  threaded as a jit argument (graph artifacts / SHT synthesis tensors)."""
   if not isinstance(params, dict):
     return params, None
   trainable, statics = {}, {}
   for k, v in params.items():
-    if k == STATICS_KEY:
+    if k in STATICS_KEYS:
       statics[k] = v
     elif isinstance(v, dict):
       t, s = partition_params(v)
@@ -87,7 +88,7 @@ def merge_params(trainable, statics):
     return trainable
   merged = dict(trainable) if isinstance(trainable, dict) else trainable
   for k, v in statics.items():
-    if k == STATICS_KEY:
+    if k in STATICS_KEYS:
       merged[k] = v
     else:
       merged[k] = merge_params(merged.get(k, {}), v)
