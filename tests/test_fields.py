@@ -158,3 +158,45 @@ def test_recompile_on_coord_change():
   assert count == 1
   fn(fs.assign_coords(lat=np.linspace(-80, 80, 5)))
   assert count == 2
+
+
+def test_field_broadcast_like():
+  f = Field(np.ones((3,), np.float32), ("level",))
+  out = f.broadcast_like(("batch", "level", "lat"), {"batch": 2, "lat": 4})
+  assert out.dims == ("batch", "level", "lat")
+  assert out.shape == (2, 3, 4)
+
+
+def test_field_transpose_and_expand():
+  f = Field(np.arange(6, dtype=np.float32).reshape(2, 3), ("a", "b"))
+  t = f.transpose("b", "a")
+  assert t.shape == (3, 2)
+  e = f.expand_dims("c", axis=1)
+  assert e.dims == ("a", "c", "b")
+  with pytest.raises(ValueError):
+    f.expand_dims("a")
+
+
+def test_fieldset_merge_overrides():
+  a = FieldSet({"x": Field(np.zeros((2,), np.float32), ("lat",))},
+               coords={"lat": np.array([0.0, 1.0])})
+  b = FieldSet({"x": Field(np.ones((2,), np.float32), ("lat",)),
+                "y": Field(np.ones((2,), np.float32), ("lat",))})
+  m = FieldSet.merge([a, b])
+  assert m.var_names == ("x", "y")
+  np.testing.assert_array_equal(np.asarray(m.data("x")), 1.0)
+  assert "lat" in m.coords
+
+
+def test_binop_variable_mismatch_raises():
+  a = FieldSet({"x": Field(np.zeros((2,), np.float32), ("lat",))})
+  b = FieldSet({"y": Field(np.zeros((2,), np.float32), ("lat",))})
+  with pytest.raises(ValueError):
+    _ = a + b
+
+
+def test_xarray_bridge_gated():
+  from graphcast_tpu import xarray_bridge as xb
+  if not xb.HAVE_XARRAY:
+    with pytest.raises(ImportError):
+      xb.to_xarray(make_fs())
