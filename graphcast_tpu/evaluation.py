@@ -1,0 +1,101 @@
+"""Forecast evaluation metrics: latitude-weighted RMSE, ACC, fair CRPS.
+
+The reference repo evaluates its models externally (WeatherBench2-style
+scorecards referenced from README.md:71-79); these are the corresponding
+metrics as first-class, jittable functions over FieldSets, using the same
+cell-area latitude weighting as the training loss (losses.py).
+
+Conventions:
+- deterministic metrics take predictions/targets with matching dims;
+- ensemble metrics expect the ensemble as the leading "batch" axis of the
+  predictions FieldSet (the framework's sample convention) against
+  batch-1 targets.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from graphcast_tpu import losses
+from graphcast_tpu.fields import Field, FieldSet, _align_for_broadcast
+
+
+def _lat_weights(fs: FieldSet, like: Field):
+  w = losses.normalized_latitude_weights(fs.coords["lat"])
+  return _align_for_broadcast(
+      Field(jnp.asarray(w, like.data.dtype), ("lat",)), like)
+
+
+def _weighted_spatial_mean(data, field: Field, weights):
+  """Mean over lat/lon with latitude weights; keeps other dims."""
+  axes = tuple(i for i, d in enumerate(field.dims) if d in ("lat", "lon"))
+  return jnp.mean(data * weights, axis=axes)
+
+
+def rmse(predictions: FieldSet, targets: FieldSet) -> dict:
+  """Latitude-weighted RMSE per variable, reduced over lat/lon (all other
+  dims kept, e.g. [batch, time(, level)])."""
+  out = {}
+  for name in targets.var_names:
+    p, t = predictions[name], targets[name]
+    w = _lat_weights(targets, t)
+    mse = _weighted_spatial_mean(
+        (p.data.astype(jnp.float32) - t.data.astype(jnp.float32)) ** 2, t, w)
+    out[name] = jnp.sqrt(mse)
+  return out
+
+
+def acc(predictions: FieldSet, targets: FieldSet,
+        climatology: FieldSet) -> dict:
+  """Anomaly correlation coefficient per variable (lat-weighted)."""
+  out = {}
+  for name in targets.var_names:
+    p, t = predictions[name], targets[name]
+    c = _align_for_broadcast(climatology[name].astype(jnp.float32), t)
+    w = _lat_weights(targets, t)
+    pa = p.data.astype(jnp.float32) - c
+    ta = t.data.astype(jnp.float32) - c
+    num = _weighted_spatial_mean(pa * ta, t, w)
+    den = jnp.sqrt(_weighted_spatial_mean(pa * pa, t, w)
+                   * _weighted_spatial_mean(ta * ta, t, w))
+    out[name] = num / jnp.maximum(den, 1e-12)
+  return out
+
+
+def crps_ensemble(predictions: FieldSet, targets: FieldSet,
+                  fair: bool = True) -> dict:
+  """(Fair) CRPS per variable for an ensemble.
+
+  predictions: ensemble members on the leading batch axis [M, ...];
+  targets: batch-1 truth with the same trailing dims.
+
+  CRPS = E|X − y| − ½·E|X − X'|; the *fair* variant divides the spread term
+  by M(M−1) instead of M² (unbiased for finite ensembles — the reference's
+  scorecards use fair CRPS, README.md:76).
+  """
+  out = {}
+  for name in targets.var_names:
+    p = predictions[name].data.astype(jnp.float32)  # [M, ...]
+    t = targets[name].data.astype(jnp.float32)      # [1, ...]
+    m = p.shape[0]
+    skill = jnp.mean(jnp.abs(p - t), axis=0)        # E|X − y|
+    # Pairwise spread via O(M²) broadcast (fine for M ≤ ~64 members).
+    diffs = jnp.abs(p[:, None] - p[None, :])        # [M, M, ...]
+    denom = m * (m - 1) if (fair and m > 1) else m * m
+    spread = jnp.sum(diffs, axis=(0, 1)) / denom
+    crps = skill - 0.5 * spread
+    tf = targets[name]
+    w = _lat_weights(targets, tf)
+    # Reduce over lat/lon with weights; the target's batch axis stays.
+    out[name] = _weighted_spatial_mean(crps[None], tf, w)[0]
+  return out
+
+
+def ensemble_mean_rmse(predictions: FieldSet, targets: FieldSet) -> dict:
+  """RMSE of the ensemble mean (the EM-RMSE in the reference's scorecards)."""
+  mean_preds = predictions.map_data(
+      lambda x: jnp.mean(x.astype(jnp.float32), axis=0, keepdims=True))
+  return rmse(mean_preds, targets)
