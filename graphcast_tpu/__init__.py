@@ -24,3 +24,14 @@ google-deepmind/graphcast, re-architected TPU-first:
 __version__ = "0.1.0"
 
 from graphcast_tpu.fields import Field, FieldSet  # noqa: F401
+from graphcast_tpu.field_tree import map_structure  # noqa: F401
+
+
+def __getattr__(name):
+  # Lazy submodule access (keeps `import graphcast_tpu` light).
+  import importlib
+  if name in ("models", "wrappers", "diffusion", "geometry", "nn", "ops",
+              "data", "parallel", "compat", "rollout", "train", "losses",
+              "checkpoint", "evaluation", "xarray_bridge"):
+    return importlib.import_module(f"graphcast_tpu.{name}")
+  raise AttributeError(f"module 'graphcast_tpu' has no attribute {name!r}")
