@@ -115,22 +115,29 @@ def native_params_to_haiku(native: dict[str, Any]
 
 
 # --- GenCast (denoiser) conversion -----------------------------------------
-# Haiku paths (verified against dm-haiku nesting rules):
-#   mesh_transformer/transformer/block_{i:02d}/{mha_proj_*,mha_final,
+# Haiku paths (verified against real dm-haiku init of the reference's own
+# modules in tests/test_reference_parity.py):
+#   mesh_transformer/~/transformer/block_{i:02d}/{mha_proj_*,mha_final,
 #       ffw_up,ffw_down}
-#   mesh_transformer/transformer/block_{i:02d}/block_{i:02d}_norm_conditioning
-#       /linear
-#   mesh_transformer/transformer/transformer_final_norm_conditioning/linear
+#   mesh_transformer/~/transformer/block_{i:02d}/
+#       block_{i:02d}_norm_conditioning{,_1}/linear
+#     (two UNSHARED norm-conditioning modules per block: attn pre-norm and
+#      ffw pre-norm; haiku uniquifies the second instance with "_1")
+#   mesh_transformer/~/transformer/transformer_final_norm_conditioning/linear
 #   fourier_features_mlp/~/mlp/~/linear_{i}           (noise-level encoder)
 #   {grid2mesh_gnn,mesh2grid_gnn}/~_networks_builder/...
+# The "/~/" after mesh_transformer comes from the reference's
+# @hk.name_like('__init__') lazy transformer construction
+# (transformer.py:81-92).
 
 _TRANSFORMER_RE = re.compile(
-    r"^mesh_transformer/transformer/(?P<rest>.+)$")
+    r"^mesh_transformer/~/transformer/(?P<rest>.+)$")
 _BLOCK_RE = re.compile(
     r"^(?P<block>block_\d+)/(?P<leaf>mha_proj_[qkv]|mha_final|ffw_up"
     r"|ffw_down)$")
 _BLOCK_NC_RE = re.compile(
-    r"^(?P<block>block_\d+)/(?P=block)_norm_conditioning/linear$")
+    r"^(?P<block>block_\d+)/(?P=block)_norm_conditioning(?P<suffix>_1)?"
+    r"/linear$")
 _FINAL_NC_RE = re.compile(
     r"^transformer_final_norm_conditioning/linear$")
 _NOISE_ENC_RE = re.compile(
@@ -154,7 +161,8 @@ def gencast_haiku_params_to_native(haiku_params) -> dict[str, Any]:
         mesh_t.setdefault(bm.group("block"), {})[bm.group("leaf")] = {
             k: np.asarray(v) for k, v in value.items()}
       elif bnc:
-        mesh_t.setdefault(bnc.group("block"), {})["norm_conditioning"] = {
+        native_name = "norm_conditioning" + (bnc.group("suffix") or "")
+        mesh_t.setdefault(bnc.group("block"), {})[native_name] = {
             "w": np.asarray(value["w"]), "b": np.asarray(value["b"])}
       elif _FINAL_NC_RE.match(rest):
         mesh_t["final_norm_conditioning"] = {
@@ -186,16 +194,17 @@ def native_gencast_params_to_haiku(native) -> dict[str, Any]:
     if name == "mesh_transformer":
       for block, parts in sub.items():
         if block == "final_norm_conditioning":
-          out["mesh_transformer/transformer/"
+          out["mesh_transformer/~/transformer/"
               "transformer_final_norm_conditioning/linear"] = {
                   "w": np.asarray(parts["w"]), "b": np.asarray(parts["b"])}
           continue
         for leaf, p in parts.items():
-          if leaf == "norm_conditioning":
-            key = (f"mesh_transformer/transformer/{block}/"
-                   f"{block}_norm_conditioning/linear")
+          if leaf in ("norm_conditioning", "norm_conditioning_1"):
+            suffix = leaf[len("norm_conditioning"):]
+            key = (f"mesh_transformer/~/transformer/{block}/"
+                   f"{block}_norm_conditioning{suffix}/linear")
           else:
-            key = f"mesh_transformer/transformer/{block}/{leaf}"
+            key = f"mesh_transformer/~/transformer/{block}/{leaf}"
           out[key] = {k: np.asarray(v) for k, v in p.items()}
     else:
       gnns[name] = sub

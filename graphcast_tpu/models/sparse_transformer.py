@@ -223,7 +223,11 @@ def triblockdiag_mha(params, cfg: SparseTransformerConfig, x, masks,
 
 
 def _variance_scaling_stddev(scale: float, fan_in: int) -> float:
-  return math.sqrt(max(scale, 1e-30) / max(fan_in, 1))
+  # hk.initializers.VarianceScaling(scale) with truncated_normal divides the
+  # stddev by the truncation factor so the sample stddev is sqrt(scale/fan_in)
+  # exactly; pre-divide here since core.truncated_normal does not correct.
+  return (math.sqrt(max(scale, 1e-30) / max(fan_in, 1))
+          / core.TRUNCATED_NORMAL_STDDEV_FACTOR)
 
 
 class Transformer:
@@ -291,10 +295,17 @@ class Transformer:
     specs = self._block_param_specs()
     for i in range(cfg.num_layers):
       sub = {}
-      sub_keys = jax.random.split(keys[i], len(specs) + 1)
+      sub_keys = jax.random.split(keys[i], len(specs) + 2)
       for (name, spec), k in zip(sorted(specs.items()), sub_keys):
         sub[name] = spec.init(k)
-      sub["norm_conditioning"] = nc.init(sub_keys[-1])
+      # Two UNSHARED norm-conditioning modules per block (attn and ffw
+      # pre-norms). The reference creates LinearNormConditioning twice with
+      # the same explicit name inside Block.__call__
+      # (sparse_transformer.py:459-477); haiku uniquifies the second to
+      # "block_XX_norm_conditioning_1" — verified against dm-haiku in
+      # tests/test_reference_parity.py.
+      sub["norm_conditioning"] = nc.init(sub_keys[-2])
+      sub["norm_conditioning_1"] = nc.init(sub_keys[-1])
       params[f"block_{i:02d}"] = sub
     params["final_norm_conditioning"] = nc.init(keys[-1])
     self._cond_size = cond_size
@@ -340,7 +351,7 @@ class Transformer:
       p = params[f"block_{i:02d}"]
       h = nc.apply(p["norm_conditioning"], ln.apply({}, x), cond)
       x = x + self._attend(p, h)
-      h = nc.apply(p["norm_conditioning"], ln.apply({}, x), cond)
+      h = nc.apply(p["norm_conditioning_1"], ln.apply({}, x), cond)
       x = x + self._ffw(p, h)
 
     return nc.apply(params["final_norm_conditioning"], ln.apply({}, x), cond)

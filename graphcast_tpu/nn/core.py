@@ -34,13 +34,19 @@ def get_activation(name: str) -> Callable:
   raise ValueError(f"unknown activation {name!r}")
 
 
+# Stddev of a standard normal truncated to [-2, 2]; haiku's VarianceScaling
+# divides by this so the *sample* stddev hits the target, but its plain
+# TruncatedNormal (hk.Linear's default) does not.
+TRUNCATED_NORMAL_STDDEV_FACTOR = 0.87962566103423978
+
+
 def truncated_normal(key, shape, stddev, dtype=jnp.float32):
-  # Match Haiku's TruncatedNormal: samples in [-2, 2] stddevs, then rescaled
-  # so the output stddev is exactly `stddev`.
+  # Matches hk.initializers.TruncatedNormal exactly: samples in [-2, 2]
+  # stddevs scaled by `stddev` with NO variance correction (actual sample
+  # stddev is ~0.8796*stddev). Verified empirically against dm-haiku 0.0.16
+  # in tests/test_reference_parity.py.
   unscaled = jax.random.truncated_normal(key, -2.0, 2.0, shape, dtype)
-  # The stddev of a truncnorm limited to [-2, 2]:
-  correction = 0.87962566103423978
-  return unscaled * (stddev / correction)
+  return unscaled * stddev
 
 
 @dataclasses.dataclass(frozen=True)
@@ -204,7 +210,9 @@ class MLPWithNorm:
     k_mlp, k_ln, k_nc = jax.random.split(key, 3)
     p = {"mlp": self._mlp.init(k_mlp)}
     if self.use_layer_norm:
-      p["layer_norm"] = self._ln.init(k_ln)
+      ln_params = self._ln.init(k_ln)
+      if ln_params:  # param-free under norm conditioning: omit, like haiku
+        p["layer_norm"] = ln_params
     if self.use_norm_conditioning:
       p["norm_conditioning"] = self._nc.init(k_nc)
     return p

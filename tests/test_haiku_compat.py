@@ -69,8 +69,13 @@ def test_gencast_param_roundtrip():
   params = predictor.init(jax.random.PRNGKey(0), inputs, targets, forcings)
   trainable, _ = train.partition_params(params)
   haiku = haiku_checkpoint.native_gencast_params_to_haiku(trainable)
-  assert any(k.startswith("mesh_transformer/transformer/block_00/")
+  assert any(k.startswith("mesh_transformer/~/transformer/block_00/")
              for k in haiku)
+  # Two unshared norm-conditioning modules per block (attn + ffw pre-norms).
+  assert ("mesh_transformer/~/transformer/block_00/"
+          "block_00_norm_conditioning/linear") in haiku
+  assert ("mesh_transformer/~/transformer/block_00/"
+          "block_00_norm_conditioning_1/linear") in haiku
   assert any(k.startswith("fourier_features_mlp/") for k in haiku)
   assert any(k.startswith("grid2mesh_gnn/~_networks_builder/") for k in haiku)
   # Norm conditioning present (GenCast GNNs are conditioned).
