@@ -17,6 +17,7 @@ from __future__ import annotations
 from typing import Callable, Iterator, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from graphcast_tpu.fields import Field, FieldSet
@@ -55,12 +56,21 @@ def chunked_prediction_generator(
     forcings: FieldSet,
     num_steps_per_chunk: int = 1,
     pull_to_host: bool = True,
+    carry_constraint: Optional[Callable[[FieldSet], FieldSet]] = None,
 ) -> Iterator[FieldSet]:
   """Yields per-chunk predictions; feeds each chunk back as next inputs.
 
   Each chunk is evaluated with the *same* time coordinates (those of the
   first chunk) so the jitted predictor compiles once; the yielded chunks are
   re-stamped with their true target times.
+
+  ``pull_to_host`` streams only the *yielded* predictions to host; the
+  carried input window always stays device-resident so shardings (e.g. an
+  ensemble ``sample`` axis over a Mesh) survive into the next chunk
+  (reference behavior: rollout.py:350-360 device_gets only the yielded
+  predictions, never the pmapped carry). ``carry_constraint`` (if given) is
+  applied to the carried inputs after every chunk — used to re-pin
+  NamedShardings that eager host-side ops might lose.
   """
   num_target_steps = targets_template.sizes["time"]
   if num_target_steps % num_steps_per_chunk:
@@ -85,11 +95,13 @@ def chunked_prediction_generator(
         targets_template=chunk_template, forcings=chunk_forcings)
     current_inputs = get_next_inputs(current_inputs, predictions,
                                      chunk_forcings)
+    if carry_constraint is not None:
+      current_inputs = carry_constraint(current_inputs)
     if pull_to_host:
       # Stream results off-device so long rollouts don't accumulate HBM
-      # (reference: rollout.py:350-360).
+      # (reference: rollout.py:350-360). Only the yielded predictions move;
+      # the carry stays on device with its shardings.
       predictions = jax.tree_util.tree_map(np.asarray, predictions)
-      current_inputs = jax.device_get(current_inputs)
     if target_times is not None:
       predictions = predictions.assign_coords(
           time=target_times[t0:t0 + num_steps_per_chunk])
@@ -104,11 +116,12 @@ def chunked_prediction(
     forcings: FieldSet,
     num_steps_per_chunk: int = 1,
     pull_to_host: bool = True,
+    carry_constraint: Optional[Callable[[FieldSet], FieldSet]] = None,
 ) -> FieldSet:
   """Concatenation of all chunks (reference: rollout.py:205-242)."""
   chunks = list(chunked_prediction_generator(
       predictor_fn, rng, inputs, targets_template, forcings,
-      num_steps_per_chunk, pull_to_host))
+      num_steps_per_chunk, pull_to_host, carry_constraint))
   out = FieldSet.concat(chunks, "time")
   times = targets_template.coords.get("time")
   if times is not None:
@@ -122,7 +135,6 @@ def tile_batch(fs: FieldSet, factor: int) -> FieldSet:
     if "batch" not in f.dims:
       return f
     axis = f.dims.index("batch")
-    import jax.numpy as jnp
     return type(f)(jnp.repeat(f.data, factor, axis=axis), f.dims)
   return fs.map(fn)
 
@@ -151,14 +163,21 @@ def chunked_ensemble_prediction(
   inputs = tile_batch(inputs, num_samples)
   targets_template = tile_batch(targets_template, num_samples)
   forcings = tile_batch(forcings, num_samples)
+  carry_constraint = None
   if mesh is not None:
     from graphcast_tpu.parallel import sharding as sharding_lib
+    dim_to_axis = {"batch": mesh_axis}
     inputs, targets_template, forcings = sharding_lib.shard_fieldsets(
-        mesh, inputs, targets_template, forcings,
-        dim_to_axis={"batch": mesh_axis})
+        mesh, inputs, targets_template, forcings, dim_to_axis=dim_to_axis)
+    # Re-pin the sample-axis sharding on the carried inputs every chunk —
+    # without this the carry silently de-shards after chunk 1 and members
+    # would replicate onto one chip from chunk 2 on.
+    carry_constraint = lambda fs: sharding_lib.shard_fieldsets(  # noqa: E731
+        mesh, fs, dim_to_axis=dim_to_axis)
   return chunked_prediction(
       predictor_fn, rng, inputs, targets_template, forcings,
-      num_steps_per_chunk=num_steps_per_chunk, pull_to_host=pull_to_host)
+      num_steps_per_chunk=num_steps_per_chunk, pull_to_host=pull_to_host,
+      carry_constraint=carry_constraint)
 
 
 def extend_targets_template(targets_template: FieldSet,
