@@ -196,8 +196,12 @@ class DeepGraphNet:
         else None)
 
     # 3. Process with residuals (reference: deep_typed_graph_net.py:373-394).
-    def aggregate(data, receivers, num_nodes, edge_set_name=None):
-      fused = (self.edge_aggregators or {}).get(edge_set_name)
+    def aggregate(data, receivers, num_nodes, edge_set_name=None,
+                  indices_are_sorted=True):
+      # Fused kernels assume the receiver-sorted edge layout; only engage on
+      # the sorted (receiver) aggregation path.
+      fused = (self.edge_aggregators or {}).get(
+          edge_set_name if indices_are_sorted else None)
       if fused is not None and data.ndim == 3 and data.shape[1] == 1:
         out = fused(data)  # f32 accumulation inside the kernel
         if self.aggregate_normalization is not None:
@@ -206,7 +210,8 @@ class DeepGraphNet:
       return segment.aggregate_edges_for_nodes(
           data, receivers, num_nodes,
           f32_aggregation=self.f32_aggregation,
-          normalization=self.aggregate_normalization)
+          normalization=self.aggregate_normalization,
+          indices_are_sorted=indices_are_sorted)
 
     def factored_fn(name):
       spec = specs[name]

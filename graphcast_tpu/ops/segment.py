@@ -35,6 +35,28 @@ def segment_mean(data, segment_ids, num_segments: int,
   return totals / counts.reshape((num_segments,) + (1,) * (data.ndim - 1))
 
 
+def segment_max(data, segment_ids, num_segments: int,
+                indices_are_sorted: bool = False):
+  return jax.ops.segment_max(
+      data, segment_ids, num_segments=num_segments,
+      indices_are_sorted=indices_are_sorted)
+
+
+def segment_min(data, segment_ids, num_segments: int,
+                indices_are_sorted: bool = False):
+  return jax.ops.segment_min(
+      data, segment_ids, num_segments=num_segments,
+      indices_are_sorted=indices_are_sorted)
+
+
+REDUCERS = {
+    "segment_sum": segment_sum,
+    "segment_mean": segment_mean,
+    "segment_max": segment_max,
+    "segment_min": segment_min,
+}
+
+
 def aggregate_edges_for_nodes(data, receivers, num_nodes: int,
                               *,
                               method: str = "segment_sum",
@@ -47,13 +69,16 @@ def aggregate_edges_for_nodes(data, receivers, num_nodes: int,
     data: [num_edges, ...] messages.
     receivers: [num_edges] destination node ids.
     num_nodes: static number of nodes.
-    method: "segment_sum" or "segment_mean".
+    method: one of REDUCERS ("segment_sum"/"segment_mean"/"segment_max"/
+      "segment_min"), matching the reference's aggregate_edges_for_nodes_fn
+      configurability (typed_graph_net.py:45-46, deep_typed_graph_net.py
+      resolves the same names from jraph).
     f32_aggregation: accumulate in float32, return in input dtype.
     normalization: optional constant divisor applied to the aggregate
       (reference: aggregate_normalization, deep_typed_graph_net.py:140-145).
     indices_are_sorted: receivers are non-decreasing.
   """
-  fn = {"segment_sum": segment_sum, "segment_mean": segment_mean}[method]
+  fn = REDUCERS[method]
   dtype = data.dtype
   if f32_aggregation:
     data = data.astype(jnp.float32)

@@ -79,9 +79,10 @@ def ref():
   from graphcast import sparse_transformer as ref_st
   from graphcast import transformer as ref_transformer
   from graphcast import typed_graph as ref_tg
+  from graphcast import typed_graph_net as ref_tgn
   ns = types.SimpleNamespace(
       hk=hk, checkpoint=ref_checkpoint, dtgn=ref_dtgn, mlp=ref_mlp,
-      st=ref_st, transformer=ref_transformer, tg=ref_tg)
+      st=ref_st, transformer=ref_transformer, tg=ref_tg, tgn=ref_tgn)
   return ns
 
 
@@ -419,6 +420,148 @@ def test_deep_gnn_forward_parity(case_name, factored):
     np.testing.assert_allclose(
         np.asarray(ours.features), np.asarray(edge_set.features),
         err_msg=f"edges:{key.name}", **tol)
+
+
+# ---------------------------------------------------------------------------
+# 2b. GraphNetwork globals / configurable aggregators vs the reference.
+# ---------------------------------------------------------------------------
+
+
+def test_graph_network_globals_and_aggregators_parity():
+  """Full GraphNetwork semantics (typed_graph_net.py:41-225): global-to-edge
+  and global-to-node broadcast, sent+received aggregation, configurable
+  aggregate fns, and the context update — against the reference's own
+  GraphNetwork run on the same data and weights."""
+  from graphcast_tpu.nn import message_passing as mp
+  from graphcast_tpu.ops import segment
+
+  r = ref()
+  n, b = 6, 2
+  rng = np.random.RandomState(0)
+  s1, r1 = _ring_edges(n)
+  s2, r2 = sort_edges_by_receiver(
+      rng.randint(0, n, 2 * n), rng.randint(0, n, 2 * n))[:2]
+  node = jnp.asarray(rng.randn(n, b, 5).astype(np.float32))
+  e1 = jnp.asarray(rng.randn(len(s1), b, 3).astype(np.float32))
+  e2 = jnp.asarray(rng.randn(len(s2), b, 2).astype(np.float32))
+  ctx = jnp.asarray(rng.randn(b, 4).astype(np.float32))
+
+  def w(shape):
+    return jnp.asarray(rng.randn(*shape).astype(np.float32) * 0.3)
+
+  w_e1 = w((3 + 5 + 5 + 4, 3))
+  w_e2 = w((2 + 5 + 5 + 4, 2))
+  # node inputs: node(5) + sent e1(3) + sent e2(2) + recv e1(3) + recv e2(2)
+  # + ctx(4)
+  w_n = w((5 + 3 + 2 + 3 + 2 + 4, 5))
+  w_g = w((5 + 3 + 2 + 4, 4))
+
+  def mlp(wmat):
+    return lambda *xs: jnp.tanh(jnp.concatenate(xs, axis=-1) @ wmat)
+
+  def ref_mean(data, ids, num):
+    return segment.segment_mean(data, ids, num)
+
+  # --- reference side (positional-arg protocol with dicts) ---
+  def ref_edge_fn(wmat):
+    return lambda e, snd, rcv, g: mlp(wmat)(e, snd, rcv, g)
+
+  def ref_node_fn(nfeat, sent, recv, g):
+    parts = ([nfeat] + [sent[k] for k in sorted(sent)]
+             + [recv[k] for k in sorted(recv)] + [g])
+    return mlp(w_n)(*parts)
+
+  def ref_global_fn(nodes, edges, g):
+    parts = ([nodes[k] for k in sorted(nodes)]
+             + [edges[k] for k in sorted(edges)] + [g])
+    return mlp(w_g)(*parts)
+
+  gn = r.tgn.GraphNetwork(
+      update_edge_fn={"e1": ref_edge_fn(w_e1), "e2": ref_edge_fn(w_e2)},
+      update_node_fn={"a": ref_node_fn},
+      update_global_fn=ref_global_fn,
+      aggregate_edges_for_nodes_fn=ref_mean,
+      aggregate_nodes_for_globals_fn=ref_mean,
+      aggregate_edges_for_globals_fn=ref_mean)
+  ref_graph = r.tg.TypedGraph(
+      context=r.tg.Context(n_graph=np.array([1]), features=ctx[None]),
+      nodes={"a": r.tg.NodeSet(n_node=np.array([n]), features=node)},
+      edges={
+          r.tg.EdgeSetKey("e1", ("a", "a")): r.tg.EdgeSet(
+              n_edge=np.array([len(s1)]),
+              indices=r.tg.EdgesIndices(jnp.asarray(s1), jnp.asarray(r1)),
+              features=e1),
+          r.tg.EdgeSetKey("e2", ("a", "a")): r.tg.EdgeSet(
+              n_edge=np.array([len(s2)]),
+              indices=r.tg.EdgesIndices(jnp.asarray(s2), jnp.asarray(r2)),
+              features=e2),
+      })
+  ref_out = gn(ref_graph)
+
+  # --- our side ---
+  def our_mean(data, ids, num, edge_set_name=None, indices_are_sorted=True):
+    del edge_set_name
+    return segment.segment_mean(data, ids, num,
+                                indices_are_sorted=indices_are_sorted)
+
+  our_graph = _our_graph(
+      {"a": node},
+      {"e1": ("a", "a", s1, r1, e1), "e2": ("a", "a", s2, r2, e2)})
+  our_graph = our_graph._replace(context=Context(features=ctx))
+  our_out = mp.apply_graph_network(
+      our_graph,
+      update_edge_fn={"e1": mlp(w_e1), "e2": mlp(w_e2)},
+      update_node_fn={"a": mlp(w_n)},
+      aggregate_edges_for_nodes_fn={"e1": our_mean, "e2": our_mean},
+      include_sent_messages_in_node_update=True,
+      update_global_fn=mlp(w_g),
+      aggregate_nodes_for_globals_fn=our_mean,
+      aggregate_edges_for_globals_fn=our_mean)
+
+  np.testing.assert_allclose(
+      np.asarray(our_out.nodes["a"].features),
+      np.asarray(ref_out.nodes["a"].features), rtol=1e-5, atol=1e-6)
+  for key in ref_out.edges:
+    np.testing.assert_allclose(
+        np.asarray(our_out.edges[our_out.edge_key_by_name(key.name)].features),
+        np.asarray(ref_out.edges[key].features), rtol=1e-5, atol=1e-6)
+  np.testing.assert_allclose(
+      np.asarray(our_out.context.features),
+      np.asarray(ref_out.context.features)[0], rtol=1e-5, atol=1e-6)
+
+
+def test_per_edge_set_aggregators_mixed_reducers():
+  """Ours-only extension: different reducers per edge set (analytic check)."""
+  from graphcast_tpu.nn import message_passing as mp
+  from graphcast_tpu.ops import segment
+
+  n = 3
+  s1 = np.array([0, 1, 2, 0], np.int32)
+  r1 = np.array([0, 0, 1, 2], np.int32)
+  feats = jnp.asarray(np.array([[1.], [3.], [5.], [7.]], np.float32))
+  node = jnp.zeros((n, 1), jnp.float32)
+
+  def agg(method):
+    def fn(data, ids, num, edge_set_name=None, indices_are_sorted=True):
+      return segment.REDUCERS[method](data, ids, num,
+                                      indices_are_sorted=indices_are_sorted)
+    return fn
+
+  graph = _our_graph({"a": node}, {"e1": ("a", "a", s1, r1, feats)})
+  out_max = mp.apply_graph_network(
+      graph,
+      update_edge_fn={"e1": lambda e, s, r: e},
+      update_node_fn={"a": lambda nf, recv: recv},
+      aggregate_edges_for_nodes_fn={"e1": agg("segment_max")})
+  np.testing.assert_allclose(np.asarray(out_max.nodes["a"].features),
+                             [[3.], [5.], [7.]])
+  out_mean = mp.apply_graph_network(
+      graph,
+      update_edge_fn={"e1": lambda e, s, r: e},
+      update_node_fn={"a": lambda nf, recv: recv},
+      aggregate_edges_for_nodes_fn={"e1": agg("segment_mean")})
+  np.testing.assert_allclose(np.asarray(out_mean.nodes["a"].features),
+                             [[2.], [5.], [7.]])
 
 
 # ---------------------------------------------------------------------------
