@@ -32,7 +32,19 @@ from graphcast_tpu.nn import core
 
 @dataclasses.dataclass(frozen=True, eq=True)
 class SparseTransformerConfig:
-  """Mirrors the reference config (denoiser.py:124-154)."""
+  """Mirrors the reference config (denoiser.py:124-154).
+
+  Field notes:
+  - ``block_q/block_kv`` tile the forward splash kernel;
+    ``block_q_dkv/block_kv_dkv`` independently tile the backward kernels
+    (a second block map is compiled when they differ).
+  - ``mask_type`` and the ``*_compute`` sub-tiling fields exist only for
+    reference checkpoint-schema compatibility (they are serialized inside
+    GenCast CheckPoint bundles): our kernel always compiles the mask to
+    block maps with bitpacked partial-block bitmaps — a strict superset of
+    the reference's 'lazy' mask protocol — and streams whole kv blocks, so
+    these fields have no effect here.
+  """
   attention_k_hop: int
   d_model: int
   num_layers: int = 16
@@ -254,6 +266,7 @@ class Transformer:
       from graphcast_tpu.ops import splash
       self._splash = splash.BlockSparseAttention.from_mask(
           mask, block_q=cfg.block_q, block_kv=cfg.block_kv,
+          block_q_dkv=cfg.block_q_dkv, block_kv_dkv=cfg.block_kv_dkv,
           interpret=interpret)
     else:
       raise ValueError(f"unknown attention_type {cfg.attention_type}")

@@ -287,7 +287,28 @@ def _dkv_kernel(q_index, q_count, q_ref, k_ref, v_ref, mask_ref, do_ref,
     dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
 
 
+def _repad(x, n, n_pad):
+  """Slice the node axis (axis 1) to n real rows and zero-pad to n_pad."""
+  if x.shape[1] == n_pad:
+    return x
+  return jnp.pad(x[:, :n], ((0, 0), (0, n_pad - x[:, :n].shape[1]))
+                 + ((0, 0),) * (x.ndim - 2))
+
+
 def _bwd(q, k, v, o, lse, do, block_map, block_q, block_kv, scale, interpret):
+  """Backward kernels. May run on a block map built at different
+  (block_q_dkv, block_kv_dkv) sizes than the forward (reference knobs:
+  sparse_transformer.py:244-275); inputs arrive padded to the FORWARD map's
+  sizes and are re-padded here if the backward map pads differently.
+  Zero-padded rows are inert: their mask bits are False (p=0 with lse
+  re-padded to 0) and their do/delta are 0."""
+  n = block_map["n"]
+  q = _repad(q, n, block_map["n_q_pad"])
+  o = _repad(o, n, block_map["n_q_pad"])
+  do = _repad(do, n, block_map["n_q_pad"])
+  lse = _repad(lse, n, block_map["n_q_pad"])
+  k = _repad(k, n, block_map["n_kv_pad"])
+  v = _repad(v, n, block_map["n_kv_pad"])
   bh, n_q_pad, d = q.shape
   n_kv_pad = k.shape[1]
   nq, ma = block_map["nq"], block_map["ma"]
@@ -386,21 +407,42 @@ class BlockSparseAttention:
   """Callable block-sparse attention for a fixed static mask."""
 
   def __init__(self, block_map: dict, block_q: int, block_kv: int,
-               interpret: Optional[bool] = None):
+               interpret: Optional[bool] = None,
+               bwd_map: Optional[dict] = None,
+               block_q_dkv: Optional[int] = None,
+               block_kv_dkv: Optional[int] = None):
     self._map = block_map
     self._block_q = block_q
     self._block_kv = block_kv
+    self._bwd_map = bwd_map if bwd_map is not None else block_map
+    self._block_q_bwd = block_q_dkv if block_q_dkv else block_q
+    self._block_kv_bwd = block_kv_dkv if block_kv_dkv else block_kv
     self._interpret = interpret
 
   @classmethod
   def from_mask(cls, mask: sp.csr_matrix, block_q: int = 256,
-                block_kv: int = 256, interpret: Optional[bool] = None
+                block_kv: int = 256, interpret: Optional[bool] = None,
+                block_q_dkv: Optional[int] = None,
+                block_kv_dkv: Optional[int] = None,
                 ) -> "BlockSparseAttention":
+    """block_q_dkv/block_kv_dkv, when given and different from the forward
+    sizes, build a second block map used by both backward kernels
+    (reference: sparse_transformer.py:244-275 passes independent fwd/bwd
+    block params to the splash kernel)."""
     n = mask.shape[0]
     block_q = min(block_q, _round_up(n, 128))
     block_kv = min(block_kv, _round_up(n, 128))
+    bwd_map = None
+    if block_q_dkv or block_kv_dkv:
+      block_q_dkv = min(block_q_dkv or block_q, _round_up(n, 128))
+      block_kv_dkv = min(block_kv_dkv or block_kv, _round_up(n, 128))
+      if (block_q_dkv, block_kv_dkv) != (block_q, block_kv):
+        bwd_map = _build_block_map(mask, block_q_dkv, block_kv_dkv)
+      else:
+        block_q_dkv = block_kv_dkv = None
     return cls(_build_block_map(mask, block_q, block_kv), block_q, block_kv,
-               interpret)
+               interpret, bwd_map=bwd_map, block_q_dkv=block_q_dkv,
+               block_kv_dkv=block_kv_dkv)
 
   @property
   def fraction_visited(self) -> float:
@@ -433,28 +475,33 @@ class BlockSparseAttention:
 
   def _map_static(self):
     # Wrapped as a hashable tuple key for the custom-vjp closure.
-    return _MapHolder(self._map, self._block_q, self._block_kv)
+    return _MapHolder(self._map, self._block_q, self._block_kv,
+                      self._bwd_map, self._block_q_bwd, self._block_kv_bwd)
 
 
 class _MapHolder:
-  """Hashable holder so the block map can be a static arg of custom_vjp."""
+  """Hashable holder so the block maps can be static args of custom_vjp."""
 
-  _counter = 0
-
-  def __init__(self, block_map, block_q, block_kv):
+  def __init__(self, block_map, block_q, block_kv,
+               bwd_map=None, block_q_bwd=None, block_kv_bwd=None):
     self.map = block_map
     self.block_q = block_q
     self.block_kv = block_kv
-    _MapHolder._counter += 1
-    self._id = _MapHolder._counter
+    self.bwd_map = bwd_map if bwd_map is not None else block_map
+    self.block_q_bwd = block_q_bwd or block_q
+    self.block_kv_bwd = block_kv_bwd or block_kv
 
   def __hash__(self):
-    return hash((id(self.map), self.block_q, self.block_kv))
+    return hash((id(self.map), id(self.bwd_map), self.block_q, self.block_kv,
+                 self.block_q_bwd, self.block_kv_bwd))
 
   def __eq__(self, other):
     return (isinstance(other, _MapHolder) and other.map is self.map
+            and other.bwd_map is self.bwd_map
             and other.block_q == self.block_q
-            and other.block_kv == self.block_kv)
+            and other.block_kv == self.block_kv
+            and other.block_q_bwd == self.block_q_bwd
+            and other.block_kv_bwd == self.block_kv_bwd)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
@@ -472,8 +519,13 @@ def _attend_fwd(q, k, v, holder, scale, interpret):
 
 def _attend_bwd(holder, scale, interpret, residuals, do):
   q, k, v, o, lse = residuals
-  dq, dk, dv = _bwd(q, k, v, o, lse, do, holder.map, holder.block_q,
-                    holder.block_kv, scale, interpret)
+  dq, dk, dv = _bwd(q, k, v, o, lse, do, holder.bwd_map, holder.block_q_bwd,
+                    holder.block_kv_bwd, scale, interpret)
+  # Grads must match the primal (forward-padded) shapes.
+  n = holder.map["n"]
+  dq = _repad(dq, n, holder.map["n_q_pad"])
+  dk = _repad(dk, n, holder.map["n_kv_pad"])
+  dv = _repad(dv, n, holder.map["n_kv_pad"])
   return dq, dk, dv
 
 

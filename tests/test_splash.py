@@ -76,6 +76,40 @@ def test_gradients_match_dense():
                                err_msg=f"d{name} mismatch")
 
 
+@pytest.mark.parametrize("bq_dkv,bkv_dkv", [(256, 128), (128, 256)])
+def test_independent_backward_block_sizes(bq_dkv, bkv_dkv):
+  """block_q_dkv/block_kv_dkv tile the backward kernels on their own block
+  map (incl. different padding); grads must still match dense."""
+  n, bandwidth = 300, 32  # n not a multiple of either block size
+  mask = make_banded_mask(n, bandwidth, seed=2)
+  attn = splash.BlockSparseAttention.from_mask(
+      mask, block_q=128, block_kv=128,
+      block_q_dkv=bq_dkv, block_kv_dkv=bkv_dkv, interpret=True)
+  assert attn._bwd_map is not attn._map  # second map actually built
+  rng = jax.random.PRNGKey(3)
+  kq, kk, kv_, kt = jax.random.split(rng, 4)
+  shape = (1, n, 1, 128)
+  q = jax.random.normal(kq, shape, jnp.float32)
+  k = jax.random.normal(kk, shape, jnp.float32)
+  v = jax.random.normal(kv_, shape, jnp.float32)
+  target = jax.random.normal(kt, shape, jnp.float32)
+
+  def loss_splash(q, k, v):
+    return jnp.sum((attn(q, k, v) - target) ** 2)
+
+  def loss_dense(q, k, v):
+    out = splash.reference_masked_attention(q, k, v,
+                                            jnp.asarray(mask.toarray()))
+    return jnp.sum((out - target) ** 2)
+
+  g_splash = jax.grad(loss_splash, argnums=(0, 1, 2))(q, k, v)
+  g_dense = jax.grad(loss_dense, argnums=(0, 1, 2))(q, k, v)
+  for gs, gd, name in zip(g_splash, g_dense, "qkv"):
+    np.testing.assert_allclose(np.asarray(gs), np.asarray(gd),
+                               rtol=2e-3, atol=2e-3,
+                               err_msg=f"d{name} mismatch")
+
+
 def test_bf16_path():
   n = 256
   mask = make_banded_mask(n, 48, seed=2)
