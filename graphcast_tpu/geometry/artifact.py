@@ -98,6 +98,7 @@ def build_artifact(
     multimesh: bool = True,
     permute_banded: bool = False,
     cache_dir: Optional[str] = None,
+    backend: str = "auto",
 ) -> GridMeshArtifact:
   """Builds (or loads from cache) the full graph artifact.
 
@@ -117,6 +118,12 @@ def build_artifact(
       Only valid with multimesh=False.
     cache_dir: disk cache directory; default env GRAPHCAST_TPU_CACHE or
       ~/.cache/graphcast_tpu. Pass "" to disable caching.
+    backend: connectivity backend — "auto" (native C++ if built, else
+      numpy/scipy), "native", or "numpy". The RESOLVED backend is part of
+      the cache key: triangle-containment ties can resolve differently
+      (both validly) between backends, so artifacts built by one are never
+      served from cache to the other. Pin "numpy" for bit-reproducible
+      artifacts across machines with/without the C++ extension.
   """
   grid_lat = np.asarray(grid_lat, dtype=np.float32)
   grid_lon = np.asarray(grid_lon, dtype=np.float32)
@@ -124,10 +131,11 @@ def build_artifact(
   if permute_banded and multimesh:
     raise ValueError("permute_banded requires multimesh=False")
 
+  backend = connectivity.resolve_backend(backend)
   cache_path = _cache_path(
       cache_dir, grid_lat, grid_lon, mesh_size,
       radius_query_fraction_edge_length, mesh2grid_edge_normalization_factor,
-      (multimesh, permute_banded))
+      (multimesh, permute_banded, backend))
   if cache_path is not None and cache_path.exists():
     return _load(cache_path, mesh_size, grid_lat, grid_lon)
 
@@ -150,7 +158,7 @@ def build_artifact(
 
   # --- grid2mesh (radius query), receivers are mesh nodes ---
   g2m_grid, g2m_mesh = connectivity.radius_query_indices(
-      grid_lat, grid_lon, finest, radius)
+      grid_lat, grid_lon, finest, radius, backend=backend)
   grid_feats, mesh_feats, g2m_edge_feats = (
       features.bipartite_graph_spatial_features(
           grid_nodes_lat, grid_nodes_lon, mesh_lat, mesh_lon,
@@ -166,7 +174,7 @@ def build_artifact(
 
   # --- mesh2grid (triangle containment), receivers are grid nodes ---
   m2g_grid, m2g_mesh = connectivity.in_mesh_triangle_indices(
-      grid_lat, grid_lon, finest)
+      grid_lat, grid_lon, finest, backend=backend)
   _, _, m2g_edge_feats = features.bipartite_graph_spatial_features(
       mesh_lat, mesh_lon, grid_nodes_lat, grid_nodes_lon,
       m2g_mesh, m2g_grid,

@@ -19,11 +19,33 @@ from graphcast_tpu.geometry.features import grid_lat_lon_to_node_coordinates
 from graphcast_tpu.geometry.icosahedron import TriangularMesh
 
 
+def resolve_backend(backend: str = "auto") -> str:
+  """Resolves a connectivity backend name to "native" or "numpy".
+
+  Triangle-containment ties (points exactly on shared edges) may resolve to
+  different — both valid — faces between the C++ and numpy paths, so the
+  resolved backend is pinned into the geometry-artifact cache key
+  (artifact.py): an artifact built by one backend is never served from cache
+  to the other."""
+  if backend == "auto":
+    from graphcast_tpu.native import build as native
+    return "native" if native.have_native() else "numpy"
+  if backend not in ("native", "numpy"):
+    raise ValueError(f"unknown geometry backend {backend!r}")
+  if backend == "native":
+    from graphcast_tpu.native import build as native
+    if not native.have_native():
+      raise RuntimeError("native geometry backend requested but the C++ "
+                         "extension is unavailable")
+  return backend
+
+
 def radius_query_indices(
     grid_lat: np.ndarray,
     grid_lon: np.ndarray,
     mesh: TriangularMesh,
-    radius: float) -> tuple[np.ndarray, np.ndarray]:
+    radius: float,
+    backend: str = "auto") -> tuple[np.ndarray, np.ndarray]:
   """Edges (grid_idx, mesh_idx) for all pairs within `radius` in R3.
 
   Grid nodes are flattened lat-major (index = i_lat * num_lon + i_lon).
@@ -31,8 +53,8 @@ def radius_query_indices(
   grid_positions = grid_lat_lon_to_node_coordinates(grid_lat, grid_lon)
   mesh_positions = mesh.vertices
 
-  from graphcast_tpu.native import build as native
-  if native.have_native():
+  if resolve_backend(backend) == "native":
+    from graphcast_tpu.native import build as native
     # C++ bucket-grid path (order-independent: the artifact sorts edges).
     return native.radius_query(grid_positions.astype(np.float64),
                                mesh_positions.astype(np.float64), radius)
@@ -52,7 +74,8 @@ def radius_query_indices(
 def containing_triangle_indices(
     points: np.ndarray,
     mesh: TriangularMesh,
-    num_candidates: int = 12) -> np.ndarray:
+    num_candidates: int = 12,
+    backend: str = "auto") -> np.ndarray:
   """Index of the mesh face whose spherical triangle contains each point.
 
   For each unit-norm point we take the `num_candidates` nearest face
@@ -61,8 +84,8 @@ def containing_triangle_indices(
   margins are ≥ 0. Points on shared edges/vertices resolve to an arbitrary
   adjacent face (margin 0), like the reference's closest-point query.
   """
-  from graphcast_tpu.native import build as native
-  if native.have_native():
+  if resolve_backend(backend) == "native":
+    from graphcast_tpu.native import build as native
     return native.containing_triangles(
         points, mesh.vertices.astype(np.float64), mesh.faces)
 
@@ -105,13 +128,15 @@ def containing_triangle_indices(
 def in_mesh_triangle_indices(
     grid_lat: np.ndarray,
     grid_lon: np.ndarray,
-    mesh: TriangularMesh) -> tuple[np.ndarray, np.ndarray]:
+    mesh: TriangularMesh,
+    backend: str = "auto") -> tuple[np.ndarray, np.ndarray]:
   """Edges (grid_idx, mesh_idx): each grid point to the 3 vertices of its
   containing triangle. Exactly 3 edges per grid point."""
   grid_positions = grid_lat_lon_to_node_coordinates(
       grid_lat, grid_lon).astype(np.float64)
   grid_positions /= np.linalg.norm(grid_positions, axis=-1, keepdims=True)
-  face_idx = containing_triangle_indices(grid_positions, mesh)
+  face_idx = containing_triangle_indices(grid_positions, mesh,
+                                         backend=backend)
   mesh_edge_indices = mesh.faces[face_idx].reshape(-1)  # [n_grid * 3]
   grid_edge_indices = np.repeat(
       np.arange(grid_positions.shape[0], dtype=np.int32), 3)

@@ -144,3 +144,89 @@ def test_add_tisr_var():
   data = np.asarray(out.data("toa_incident_solar_radiation"))
   assert (data >= 0).all()
   assert data.max() > 1e5  # some daytime cell
+
+
+# ---------------------------------------------------------------------------
+# Golden TSI + full-grid TISR parity with the reference implementation
+# (reference: solar_radiation_test.py:135-236).
+# ---------------------------------------------------------------------------
+
+
+def _ref_solar():
+  """Imports the reference's solar_radiation (needs only a DataArray-shaped
+  xarray for the TSI tables)."""
+  import sys
+  from tests import fake_xarray
+  fake_xarray.install_if_missing()
+  if "/root/reference" not in sys.path:
+    sys.path.insert(0, "/root/reference")
+  from graphcast import solar_radiation as ref_sr
+  return ref_sr
+
+
+def test_tsi_golden_mid_2020():
+  tsi = solar_radiation.get_tsi(
+      [np.datetime64("2020-07-02T00:00:00")], *solar_radiation.era5_tsi_data())
+  np.testing.assert_allclose(tsi, [1360.9440])  # 0.9965 * 1365.7240
+  tsi_ref = solar_radiation.get_tsi(
+      [np.datetime64("2020-07-02T00:00:00")],
+      *solar_radiation.reference_tsi_data())
+  np.testing.assert_allclose(tsi_ref, [1361.0])
+
+
+@pytest.mark.parametrize("timestamp,expected", [
+    ("2020-01-01T00:00:00", 1000.0),   # left boundary clamp
+    ("2020-07-02T00:00:00", 1000.0),   # exact
+    ("2021-01-01T00:00:00", 1150.0),   # interpolated
+    ("2021-07-02T12:00:00", 1300.0),
+    ("2022-01-01T00:00:00", 1250.0),
+    ("2022-07-02T12:00:00", 1200.0),
+    ("2023-01-01T00:00:00", 1200.0),   # right boundary clamp
+])
+def test_tsi_interpolation_golden(timestamp, expected):
+  years = np.array([2020.5, 2021.5, 2022.5])
+  values = np.array([1000.0, 1300.0, 1200.0])
+  tsi = solar_radiation.get_tsi([np.datetime64(timestamp)], years, values)
+  np.testing.assert_allclose(tsi, [expected])
+
+
+def test_tisr_matches_reference_implementation():
+  """Value-level parity with the reference's own solar_radiation module on a
+  coarse grid (several timestamps, era5 TSI, 1h/360-bin integration)."""
+  ref_sr = _ref_solar()
+  timestamps = pd.date_range(start="2023-09-25", periods=3, freq="6h")
+  lat = np.linspace(-90.0, 90.0, 25)
+  lon = np.linspace(0.0, 360.0, 48, endpoint=False)
+
+  ours = solar_radiation.get_toa_incident_solar_radiation(
+      timestamps, lat, lon, integration_period="1h",
+      num_integration_bins=360)
+  theirs = np.asarray(ref_sr.get_toa_incident_solar_radiation(
+      timestamps, lat, lon, integration_period="1h",
+      num_integration_bins=360, use_jit=False))
+  scale = max(theirs.max(), 1.0)
+  np.testing.assert_allclose(ours / scale, theirs / scale, atol=2e-5)
+
+
+def test_tisr_full_spatial_resolution():
+  """Full ERA5 0.25 deg grid (721x1440), one timestamp — the reference's
+  full-resolution test (solar_radiation_test.py:135-176) with value checks
+  instead of timing-only."""
+  timestamps = [np.datetime64("2023-09-25T12:00:00")]
+  lat = np.linspace(-90.0, 90.0, 721)
+  lon = np.linspace(0.0, 360.0, 1440, endpoint=False)
+  out = solar_radiation.get_toa_incident_solar_radiation(
+      timestamps, lat, lon, integration_period="1h",
+      num_integration_bins=360)
+  assert out.shape == (1, 721, 1440)
+  assert np.isfinite(out).all()
+  assert (out >= 0.0).all()
+  # Upper bound: TSI x 1h (flux can't exceed TSI / distance^2; distance ~1 AU
+  # +-1.7%).
+  assert out.max() <= 1361.0 * 3600.0 * 1.05
+  # Near the September equinox: subsolar point near the equator; poles dim.
+  equator = out[0, 360]
+  assert equator.max() > 0.9 * out.max()
+  # Roughly half the planet is in darkness.
+  frac_dark = (out == 0.0).mean()
+  assert 0.35 < frac_dark < 0.55

@@ -183,3 +183,32 @@ def test_rcm_reduces_bandwidth():
   bw_before = np.abs(senders.astype(int) - receivers.astype(int)).max()
   bw_after = np.abs(inv[senders] - inv[receivers]).max()
   assert bw_after < bw_before
+
+
+def test_backend_pinned_in_cache_key(tmp_path):
+  """Artifacts built by different connectivity backends never share a cache
+  entry (ties in triangle containment may differ between backends)."""
+  from graphcast_tpu.geometry import artifact as artifact_lib
+  from graphcast_tpu.geometry import connectivity
+
+  lat = np.linspace(-90, 90, 7)
+  lon = np.arange(0, 360, 45.0)
+  art = artifact_lib.build_artifact(
+      lat, lon, mesh_size=1, cache_dir=str(tmp_path), backend="numpy")
+  files_numpy = set(p.name for p in tmp_path.iterdir())
+  assert len(files_numpy) == 1
+
+  # Same config again: served from cache, no new entry, same content.
+  art2 = artifact_lib.build_artifact(
+      lat, lon, mesh_size=1, cache_dir=str(tmp_path), backend="numpy")
+  assert set(p.name for p in tmp_path.iterdir()) == files_numpy
+  np.testing.assert_array_equal(art.mesh2grid.senders, art2.mesh2grid.senders)
+
+  from graphcast_tpu.native import build as native
+  if native.have_native():
+    artifact_lib.build_artifact(
+        lat, lon, mesh_size=1, cache_dir=str(tmp_path), backend="native")
+    assert len(list(tmp_path.iterdir())) == 2  # distinct cache entry
+
+  with pytest.raises(ValueError):
+    connectivity.resolve_backend("cuda")
