@@ -138,6 +138,73 @@ def _bench_fallback(num_steps):
           min(times), compile_s)
 
 
+def _bench_gencast():
+  """One GenCast 12h forecast step (20 noise levels x 2 denoiser evals = 40
+  full network evaluations) at 1.0°/mesh-5 with the splash-attention
+  processor, one member, one chip. Also serves as the per-round on-real-TPU
+  validation of the Pallas splash kernel (CI runs it interpret-mode only).
+
+  Baseline: reference GenCast 1.0° takes ~3 min per 30-step member on a v5e
+  chip post-compile (docs/cloud_vm_setup.md:30-31) ⇒ 6.0 s per 12h step.
+  """
+  import jax
+  import jax.numpy as jnp
+  from graphcast_tpu.data import synthetic
+  from graphcast_tpu.models import gencast
+  from graphcast_tpu.models.denoiser import (
+      DenoiserArchitectureConfig, NoiseEncoderConfig)
+  from graphcast_tpu.models.sparse_transformer import SparseTransformerConfig
+  from graphcast_tpu.wrappers import InputsAndResiduals, NaNCleaner
+
+  resolution = float(os.environ.get("BENCH_GENCAST_RESOLUTION", "1.0"))
+  mesh_size = int(os.environ.get("BENCH_GENCAST_MESH_SIZE", "5"))
+  task = gencast.TASK
+  st_cfg = SparseTransformerConfig(
+      attention_k_hop=16, d_model=512, num_layers=16, num_heads=4,
+      attention_type="splash_mha")
+  arch_cfg = DenoiserArchitectureConfig(
+      sparse_transformer_config=st_cfg, mesh_size=mesh_size, latent_size=512,
+      hidden_layers=1)
+  predictor = gencast.GenCast(
+      task_config=task,
+      denoiser_architecture_config=arch_cfg,
+      sampler_config=gencast.SamplerConfig(),
+      noise_config=gencast.NoiseConfig(),
+      noise_encoder_config=NoiseEncoderConfig())
+  stddev, mean, diffs = synthetic.make_norm_stats(task)
+  predictor = NaNCleaner(
+      InputsAndResiduals(predictor, stddev_by_level=stddev,
+                         mean_by_level=mean, diffs_stddev_by_level=diffs),
+      var_to_clean="sea_surface_temperature", fill_value=0.0)
+
+  inputs, targets, forcings = synthetic.make_example_batch(
+      task, resolution=resolution, batch=1, num_target_times=1,
+      time_step_hours=12)
+  rng = jax.random.PRNGKey(0)
+  params = predictor.init(rng, inputs, targets, forcings)
+  params, inputs, targets, forcings = jax.device_put(
+      (params, inputs, targets, forcings))
+
+  @jax.jit
+  def sample_step(p, r):
+    preds = predictor(p, r, inputs, targets, forcings)
+    return jnp.mean(preds.data("temperature").astype(jnp.float32))
+
+  t0 = time.perf_counter()
+  v = float(sample_step(params, rng))
+  compile_s = time.perf_counter() - t0
+  assert np.isfinite(v), "non-finite gencast sample"
+  times = []
+  for i in range(3):
+    t0 = time.perf_counter()
+    float(sample_step(params, jax.random.PRNGKey(i + 1)))
+    times.append(time.perf_counter() - t0)
+  steady = min(times)
+  metric = (f"gencast_{resolution}deg_mesh{mesh_size}_splash_12h_step"
+            "_40evals")
+  return metric, steady, compile_s
+
+
 def main():
   import jax
   try:
@@ -152,6 +219,35 @@ def main():
 
   num_steps = int(os.environ.get("BENCH_NUM_STEPS", "40"))
   baseline_budget_s = 60.0  # BASELINE.json north star for the 40-step rollout
+  gencast_baseline_s = 6.0  # reference s per 12h step per member (see above)
+
+  # GenCast metric (captured to BENCH_GENCAST.json every run; primary line
+  # with BENCH_GENCAST=1).
+  gc_result = None
+  if not os.environ.get("BENCH_SKIP_GENCAST"):
+    try:
+      gc_metric, gc_steady, gc_compile = _bench_gencast()
+      gc_result = {
+          "metric": gc_metric,
+          "value": round(gc_steady, 3),
+          "unit": "s",
+          "vs_baseline": round(gencast_baseline_s / gc_steady, 3),
+      }
+      with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH_GENCAST.json"), "w") as f:
+        json.dump({**gc_result, "compile_s": round(gc_compile, 1)}, f)
+        f.write("\n")
+      print(f"# gencast: {json.dumps(gc_result)} compile={gc_compile:.1f}s",
+            file=sys.stderr)
+    except Exception as e:
+      print(f"# gencast bench failed ({type(e).__name__}: {e})",
+            file=sys.stderr)
+
+  if os.environ.get("BENCH_GENCAST"):
+    if gc_result is None:
+      raise SystemExit("BENCH_GENCAST=1 but the gencast bench failed")
+    print(json.dumps(gc_result))
+    return
 
   metric = steady = compile_s = None
   if not os.environ.get("BENCH_FALLBACK_ONLY"):
