@@ -39,11 +39,14 @@ def _build(resolution, mesh_size, latent, msg_steps, task,
       resolution=resolution, mesh_size=mesh_size, latent_size=latent,
       gnn_msg_steps=msg_steps, hidden_layers=1,
       radius_query_fraction_edge_length=0.6)
+  fused = os.environ.get("BENCH_FUSED")
+  fused = None if fused is None else bool(int(fused))
   stddev, mean, diffs = synthetic.make_norm_stats(task)
   predictor = Autoregressive(
       InputsAndResiduals(
           Bfloat16Cast(GraphCast(model, task, decode_chunks=decode_chunks,
-                                 encode_chunks=encode_chunks)),
+                                 encode_chunks=encode_chunks,
+                                 fused_aggregation=fused)),
           stddev_by_level=stddev, mean_by_level=mean,
           diffs_stddev_by_level=diffs),
       gradient_checkpointing=False)

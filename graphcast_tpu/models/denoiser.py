@@ -125,6 +125,7 @@ class DenoiserArchitecture:
     self._encode_chunks = encode_chunks
     self._artifact: Optional[artifact_lib.GridMeshArtifact] = None
     self._mesh_transformer: Optional[MeshTransformer] = None
+    self._g2m_plan = None
 
     latent = cfg.latent_size
     if cfg.node_output_size is None:
@@ -177,14 +178,34 @@ class DenoiserArchitecture:
     if self._grid2mesh_gnn.norm_conditioning_size is None:
       self._grid2mesh_gnn.norm_conditioning_size = cond_size
       self._mesh2grid_gnn.norm_conditioning_size = cond_size
+    if self._g2m_plan is None and self._encode_chunks > 1:
+      from graphcast_tpu.geometry import chunking
+      self._g2m_plan = chunking.plan_balanced_node_chunks(
+          self._artifact.grid2mesh.receivers, self._artifact.num_mesh_nodes,
+          self._encode_chunks)
 
   # --- graphs (same assembly pattern as GraphCast) ---
+
+  def _host_statics(self) -> dict:
+    """Artifact statics with the grid2mesh edge set in the balanced
+    node-chunk layout when chunked encoding is active (see
+    models/graphcast.py:_host_statics)."""
+    statics = self._artifact.graph_statics()
+    if self._g2m_plan is not None:
+      plan = self._g2m_plan
+      statics["g2m_senders"] = plan.pad_edge_array(statics["g2m_senders"])
+      statics["g2m_receivers"] = plan.pad_edge_array(
+          statics["g2m_receivers"])
+      statics["g2m_edge_features"] = plan.pad_edge_array(
+          statics["g2m_edge_features"])
+      statics["g2m_local_receivers"] = plan.local_receivers
+      statics["g2m_node_gather"] = plan.node_gather
+    return statics
 
   def _statics(self, params) -> dict:
     if isinstance(params, dict) and "graph_statics" in params:
       return params["graph_statics"]
-    return {k: jnp.asarray(v)
-            for k, v in self._artifact.graph_statics().items()}
+    return {k: jnp.asarray(v) for k, v in self._host_statics().items()}
 
   def _grid2mesh_graph(self, statics, grid_node_features) -> TypedGraph:
     art = self._artifact
@@ -268,7 +289,7 @@ class DenoiserArchitecture:
     self._maybe_init(inputs, cond.shape[-1])
     k1, k2, k3 = jax.random.split(rng, 3)
     params = {}
-    statics = self._artifact.graph_statics()
+    statics = self._host_statics()
     abstract_statics = jax.tree_util.tree_map(
         lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), statics)
     g2m = jax.eval_shape(self._grid2mesh_graph, abstract_statics,
@@ -336,12 +357,12 @@ class DenoiserArchitecture:
     grid_proj = grid_emb @ ws
     mesh_proj = mesh_emb @ wr
 
-    e_total = statics["g2m_senders"].shape[0]
-    k = self._choose_chunks(e_total, self._encode_chunks)
-    ec = e_total // k
-    e_feats = statics["g2m_edge_features"].astype(dtype).reshape(k, ec, -1)
-    senders = statics["g2m_senders"].reshape(k, ec)
-    receivers = statics["g2m_receivers"].reshape(k, ec)
+    plan = self._g2m_plan
+    k, max_e, max_n = plan.num_chunks, plan.max_edges, plan.max_nodes
+    e_feats = statics["g2m_edge_features"].astype(dtype).reshape(k, max_e, -1)
+    senders = statics["g2m_senders"].reshape(k, max_e)
+    receivers = statics["g2m_receivers"].reshape(k, max_e)
+    local_recv = statics["g2m_local_receivers"].reshape(k, max_e)
 
     ee_spec = specs["encoder_edges_grid2mesh"]
     pee = p["encoder_edges_grid2mesh"]
@@ -349,9 +370,8 @@ class DenoiserArchitecture:
     activation = get_activation(gnn.activation)
     mlp_layers = pe_spec._mlp._layers()
 
-    def encode_chunk(carry, xs):
-      agg = carry
-      e_feat, s_idx, r_idx = xs
+    def encode_chunk(xs):
+      e_feat, s_idx, r_idx, r_local = xs
       e_lat = ee_spec.apply(pee, _add_batch_second_axis(e_feat, batch),
                             global_norm_conditioning=gnc)
       x = e_lat @ we + grid_proj[s_idx] + mesh_proj[r_idx] + b0
@@ -359,13 +379,14 @@ class DenoiserArchitecture:
         x = activation(x)
         x = mlp_layers[i].apply(pe["mlp"][f"linear_{i}"], x)
       x = pe_spec._norm(pe, x, gnc)
-      agg = agg + jax.ops.segment_sum(
-          x.astype(jnp.float32), r_idx, num_segments=art.num_mesh_nodes,
+      # Chunk-local f32 aggregation; padding slots (r_local == max_n) drop.
+      return jax.ops.segment_sum(
+          x.astype(jnp.float32), r_local, num_segments=max_n,
           indices_are_sorted=True)
-      return agg, None
 
-    agg0 = jnp.zeros((art.num_mesh_nodes, batch, latent), jnp.float32)
-    agg, _ = jax.lax.scan(encode_chunk, agg0, (e_feats, senders, receivers))
+    aggs = jax.lax.map(encode_chunk, (e_feats, senders, receivers,
+                                      local_recv))
+    agg = aggs.reshape(k * max_n, batch, latent)[statics["g2m_node_gather"]]
     if gnn.aggregate_normalization:
       agg = agg / gnn.aggregate_normalization
     agg = agg.astype(dtype)

@@ -59,6 +59,8 @@ class GraphCast(Predictor):
     self._encode_chunks = encode_chunks
     self._fused_aggregation = fused_aggregation
     self._artifact: Optional[artifact_lib.GridMeshArtifact] = None
+    self._mesh_summer = None
+    self._g2m_plan = None
 
     latent = model_config.latent_size
     num_outputs = configs.num_output_channels(task_config)
@@ -118,29 +120,62 @@ class GraphCast(Predictor):
         cache_dir=self._cache_dir)
     fused = self._fused_aggregation
     if fused is None:
-      # Measured: +14% full-rollout at mesh-5; neutral-to-negative at mesh-6
-      # (grid GNNs dominate there). Opt in explicitly to override.
-      fused = jax.default_backend() == "tpu" and self._mc.mesh_size <= 5
+      fused = jax.default_backend() == "tpu"
+    self._mesh_summer = None
     if fused:
       # One-hot MXU aggregation for the multi-mesh hot loop (16 scatter-adds
       # per step otherwise dominate: ~26 GB/s effective on segment_sum).
+      # The mesh edge set is baked into the kernel's chunk-aligned padded
+      # layout host-side (see _host_statics), so the repeated aggregations
+      # run with ZERO runtime re-layout — the padding overhead is only the
+      # ~15-25% extra edge-MLP rows, which are MXU-bound and cheap.
       from graphcast_tpu.ops.pallas_mp import BlockedSegmentSum
       art = self._artifact
-      self._mesh_gnn.edge_aggregators = {
-          "mesh": BlockedSegmentSum(
-              art.mesh.receivers, art.num_mesh_nodes,
-              block_nodes=256, chunk_edges=1024)}
-      # (Measured: also fusing grid2mesh/mesh2grid aggregations is slightly
-      # negative — their one-shot scatters are cheaper than the kernel's
-      # re-layout gather. Only the 16×-repeated mesh aggregation wins.)
+      self._mesh_summer = BlockedSegmentSum(
+          art.mesh.receivers, art.num_mesh_nodes,
+          block_nodes=256, chunk_edges=1024, padded_input=True)
+      self._mesh_gnn.edge_aggregators = {"mesh": self._mesh_summer}
+      # (grid2mesh/mesh2grid aggregations happen once per step and are
+      # handled by the chunked encode/decode paths instead.)
+    self._g2m_plan = None
+    if self._encode_chunks > 1:
+      from graphcast_tpu.geometry import chunking
+      self._g2m_plan = chunking.plan_balanced_node_chunks(
+          self._artifact.grid2mesh.receivers, self._artifact.num_mesh_nodes,
+          self._encode_chunks)
+
+  def _host_statics(self) -> dict:
+    """Artifact statics, re-laid out for the fast paths:
+
+    - mesh edge set in the fused kernel's padded chunk-aligned order when
+      fused aggregation is active;
+    - grid2mesh edge set in the balanced node-chunk layout when chunked
+      encoding is active (plus local receivers / node-gather indices).
+    """
+    statics = self._artifact.graph_statics()
+    if self._mesh_summer is not None:
+      s = self._mesh_summer
+      statics["mesh_senders"] = s.pad_edges(statics["mesh_senders"])
+      statics["mesh_receivers"] = s.padded_receivers
+      statics["mesh_edge_features"] = s.pad_edges(
+          statics["mesh_edge_features"])
+    if self._g2m_plan is not None:
+      plan = self._g2m_plan
+      statics["g2m_senders"] = plan.pad_edge_array(statics["g2m_senders"])
+      statics["g2m_receivers"] = plan.pad_edge_array(
+          statics["g2m_receivers"])
+      statics["g2m_edge_features"] = plan.pad_edge_array(
+          statics["g2m_edge_features"])
+      statics["g2m_local_receivers"] = plan.local_receivers
+      statics["g2m_node_gather"] = plan.node_gather
+    return statics
 
   def _statics(self, params) -> dict:
     """Graph data threaded as jit arguments when present in params
     (see GridMeshArtifact.graph_statics), else closure constants."""
     if isinstance(params, dict) and "graph_statics" in params:
       return params["graph_statics"]
-    return {k: jnp.asarray(v)
-            for k, v in self._artifact.graph_statics().items()}
+    return {k: jnp.asarray(v) for k, v in self._host_statics().items()}
 
   def _grid2mesh_graph(self, statics, grid_node_features) -> TypedGraph:
     """Assembles the grid2mesh TypedGraph; grid nodes carry
@@ -207,13 +242,20 @@ class GraphCast(Predictor):
   # ----- chunked grid2mesh encode (memory-bounded, exact math) -----
 
   def _run_grid2mesh_chunked(self, params, statics, grid_node_features):
-    """The grid2mesh GNN evaluated in sequential edge chunks.
+    """The grid2mesh GNN evaluated in sequential balanced node chunks.
 
     The encoder's edge latents are only consumed by the single aggregation
-    into mesh nodes (the edge set is not reused downstream), so each edge
-    chunk can embed → update → aggregate and be freed: peak memory scales
-    with E/num_chunks instead of E (~1.6M edges at 0.25°).
-    Exactly matches the general path (f32 accumulation across chunks).
+    into mesh nodes (the edge set is not reused downstream), so each chunk
+    can embed → update → aggregate and be freed: peak memory scales with
+    E/num_chunks instead of E (~1.6M edges at 0.25°).
+
+    Chunks are node-aligned with balanced edge counts (geometry/chunking.py):
+    each chunk's receivers are local to its node range, so the aggregation is
+    a small [max_nodes, B, C] sorted segment-sum per chunk instead of k
+    scatter-adds into a full [num_mesh, B, C] f32 accumulator (round-1's
+    hottest op: 57 ms standalone at 0.25°); the per-chunk outputs are
+    reassembled with one gather. Exactly matches the general path (f32
+    aggregation within chunks; chunk boundaries never split a node).
     """
     art = self._artifact
     gnn = self._grid2mesh_gnn
@@ -254,12 +296,12 @@ class GraphCast(Predictor):
     grid_proj = grid_emb @ ws    # [num_grid, B, latent]
     mesh_proj = mesh_emb @ wr    # [num_mesh, B, latent]
 
-    e_total = statics["g2m_senders"].shape[0]
-    k = self._choose_chunks(e_total, self._encode_chunks)
-    ec = e_total // k
-    e_feats = statics["g2m_edge_features"].astype(dtype).reshape(k, ec, -1)
-    senders = statics["g2m_senders"].reshape(k, ec)
-    receivers = statics["g2m_receivers"].reshape(k, ec)
+    plan = self._g2m_plan
+    k, max_e, max_n = plan.num_chunks, plan.max_edges, plan.max_nodes
+    e_feats = statics["g2m_edge_features"].astype(dtype).reshape(k, max_e, -1)
+    senders = statics["g2m_senders"].reshape(k, max_e)
+    receivers = statics["g2m_receivers"].reshape(k, max_e)
+    local_recv = statics["g2m_local_receivers"].reshape(k, max_e)
 
     ee_spec = specs["encoder_edges_grid2mesh"]
     pee = p["encoder_edges_grid2mesh"]
@@ -267,9 +309,8 @@ class GraphCast(Predictor):
     activation = get_activation(gnn.activation)
     mlp_layers = pe_spec._mlp._layers()
 
-    def encode_chunk(carry, xs):
-      agg = carry
-      e_feat, s_idx, r_idx = xs
+    def encode_chunk(xs):
+      e_feat, s_idx, r_idx, r_local = xs
       e_lat = ee_spec.apply(pee, _add_batch_second_axis(e_feat, batch))
       # Factored first layer of the processor edge MLP.
       x = e_lat @ we + grid_proj[s_idx] + mesh_proj[r_idx] + b0
@@ -277,14 +318,15 @@ class GraphCast(Predictor):
         x = activation(x)
         x = mlp_layers[i].apply(pe["mlp"][f"linear_{i}"], x)
       x = pe_spec._norm(pe, x, None)
-      # f32 accumulation across chunks (g2m uses f32_aggregation).
-      agg = agg + jax.ops.segment_sum(
-          x.astype(jnp.float32), r_idx, num_segments=art.num_mesh_nodes,
+      # Chunk-local f32 aggregation (g2m uses f32_aggregation); padding
+      # slots carry r_local == max_n and are dropped.
+      return jax.ops.segment_sum(
+          x.astype(jnp.float32), r_local, num_segments=max_n,
           indices_are_sorted=True)
-      return agg, None
 
-    agg0 = jnp.zeros((art.num_mesh_nodes, batch, latent), jnp.float32)
-    agg, _ = jax.lax.scan(encode_chunk, agg0, (e_feats, senders, receivers))
+    aggs = jax.lax.map(encode_chunk, (e_feats, senders, receivers,
+                                      local_recv))  # [k, max_n, B, latent]
+    agg = aggs.reshape(k * max_n, batch, latent)[statics["g2m_node_gather"]]
     if gnn.aggregate_normalization:
       agg = agg / gnn.aggregate_normalization
     agg = agg.astype(dtype)
@@ -399,7 +441,7 @@ class GraphCast(Predictor):
     batch = gnf.shape[1]
     dtype = gnf.dtype
 
-    statics = self._artifact.graph_statics()
+    statics = self._host_statics()
     abstract_statics = jax.tree_util.tree_map(
         lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), statics)
 
@@ -422,7 +464,7 @@ class GraphCast(Predictor):
     """Adds the graph-statics entry to params loaded from a reference
     checkpoint (which stores only learned parameters)."""
     self._maybe_init(inputs)
-    return {**params, "graph_statics": self._artifact.graph_statics()}
+    return {**params, "graph_statics": self._host_statics()}
 
   def __call__(self, params, rng, inputs, targets_template, forcings,
                **kwargs):

@@ -199,10 +199,11 @@ class DeepGraphNet:
     def aggregate(data, receivers, num_nodes, edge_set_name=None,
                   indices_are_sorted=True):
       # Fused kernels assume the receiver-sorted edge layout; only engage on
-      # the sorted (receiver) aggregation path.
+      # the sorted (receiver) aggregation path. Batches are handled by the
+      # kernel (flattened into channels).
       fused = (self.edge_aggregators or {}).get(
           edge_set_name if indices_are_sorted else None)
-      if fused is not None and data.ndim == 3 and data.shape[1] == 1:
+      if fused is not None and data.ndim == 3:
         out = fused(data)  # f32 accumulation inside the kernel
         if self.aggregate_normalization is not None:
           out = out / self.aggregate_normalization

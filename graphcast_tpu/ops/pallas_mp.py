@@ -63,11 +63,22 @@ def _agg_kernel(chunk_base, num_chunks, node_base, receivers_ref,
 
 
 class BlockedSegmentSum:
-  """Callable fused aggregation for a fixed receiver-sorted edge list."""
+  """Callable fused aggregation for a fixed receiver-sorted edge list.
+
+  Two input modes:
+  - default: messages arrive in the ORIGINAL edge order; they are gathered
+    into the chunk-aligned layout on device first (one [L, C] gather);
+  - ``padded_input=True``: messages already live in the chunk-aligned padded
+    layout (length ``layout_length``) — e.g. because the edge set itself was
+    baked into that layout host-side with :meth:`pad_edges` — and the kernel
+    consumes them directly with NO runtime re-layout. This is the fast path
+    for repeated aggregations over a static edge set (the 16-step mesh GNN).
+  """
 
   def __init__(self, receivers: np.ndarray, num_nodes: int,
                block_nodes: int = 256, chunk_edges: int = 512,
-               interpret: Optional[bool] = None):
+               interpret: Optional[bool] = None,
+               padded_input: bool = False):
     receivers = np.asarray(receivers, np.int32)
     if receivers.size and (np.diff(receivers) < 0).any():
       raise ValueError("receivers must be sorted")
@@ -76,6 +87,7 @@ class BlockedSegmentSum:
     self.original_receivers = receivers
     self.block_nodes = block_nodes
     self.chunk_edges = chunk_edges
+    self.padded_input = padded_input
     self._interpret = interpret
 
     offsets = row_offsets_from_sorted_receivers(receivers, num_nodes)
@@ -109,16 +121,44 @@ class BlockedSegmentSum:
                                                 chunk_edges)
 
   @property
+  def layout_length(self) -> int:
+    """Edge count of the chunk-aligned padded layout."""
+    return self.total_chunks * self.chunk_edges
+
+  @property
   def expansion(self) -> float:
     """Padded-layout size relative to the raw edge count."""
     return self.layout_index.shape[0] / max(self.num_edges, 1)
 
+  def pad_edges(self, array: np.ndarray, fill=0) -> np.ndarray:
+    """Host-side: reorders a per-edge array (original order) into the
+    chunk-aligned padded layout; padding slots get `fill`.
+
+    Used to bake edge sets (senders/receivers/features) into kernel layout
+    at artifact/model build time so no runtime re-layout gather is needed.
+    """
+    array = np.asarray(array)
+    out = np.full((self.layout_length,) + array.shape[1:], fill, array.dtype)
+    valid = self.layout_index < self.num_edges
+    out[valid] = array[self.layout_index[valid]]
+    return out
+
+  @property
+  def padded_receivers(self) -> np.ndarray:
+    """[layout_length] receivers in padded layout (padding = num_nodes+1,
+    dropped by both the kernel and jax segment ops)."""
+    return self.receivers_layout.reshape(-1).copy()
+
   def __call__(self, messages):
-    """messages: [num_edges, C] → [num_nodes, C] sums. Differentiable
-    (the VJP of a segment sum is the gather d_messages = g[receivers])."""
-    if messages.ndim == 3 and messages.shape[1] == 1:
-      # [E, batch=1, C] convenience path for the GNN layout.
-      return self(messages[:, 0])[:, None]
+    """messages: [E(, B), C] → [num_nodes(, B), C] sums; E is the original
+    edge count, or ``layout_length`` when ``padded_input=True``.
+    Differentiable (the VJP of a segment sum is a gather)."""
+    if messages.ndim == 3:
+      # [E, B, C] GNN layout: aggregation is per-edge linear, so flatten
+      # batch into channels for the kernel.
+      e, b, c = messages.shape
+      out = self(messages.reshape(e, b * c))
+      return out.reshape(out.shape[0], b, c)
     receivers = jnp.asarray(self.receivers_layout.reshape(-1))
     return _blocked_segment_sum(messages, self, receivers)
 
@@ -127,11 +167,17 @@ class BlockedSegmentSum:
     if interpret is None:
       interpret = jax.default_backend() != "tpu"
     e, c = messages.shape
-    if e != self.num_edges:
-      raise ValueError(f"expected {self.num_edges} edges, got {e}")
-    zero_row = jnp.zeros((1, c), messages.dtype)
-    msgs = jnp.concatenate([messages, zero_row], axis=0)[
-        jnp.asarray(self.layout_index)]
+    if self.padded_input:
+      if e != self.layout_length:
+        raise ValueError(
+            f"padded_input: expected {self.layout_length} rows, got {e}")
+      msgs = messages
+    else:
+      if e != self.num_edges:
+        raise ValueError(f"expected {self.num_edges} edges, got {e}")
+      zero_row = jnp.zeros((1, c), messages.dtype)
+      msgs = jnp.concatenate([messages, zero_row], axis=0)[
+          jnp.asarray(self.layout_index)]
     total_chunks = self.total_chunks
 
     kernel = functools.partial(
@@ -192,9 +238,16 @@ def _bss_fwd(messages, holder, receivers_unused):
 
 
 def _bss_bwd(holder, _, g):
-  # d messages[e] = g[receivers[e]] — a plain gather over the ORIGINAL
-  # (unpadded) receiver list.
-  d_messages = g[jnp.asarray(holder.summer.original_receivers)]
+  # d messages[e] = g[receivers[e]] — a plain gather. In padded mode the
+  # gather runs over the padded receiver layout with an appended zero row
+  # for padding slots (receiver id == num_nodes+1, clipped to num_nodes).
+  summer = holder.summer
+  if summer.padded_input:
+    zero_row = jnp.zeros((1,) + g.shape[1:], g.dtype)
+    g_ext = jnp.concatenate([g, zero_row], axis=0)
+    idx = jnp.minimum(jnp.asarray(summer.padded_receivers), summer.num_nodes)
+    return (g_ext[idx], None)
+  d_messages = g[jnp.asarray(summer.original_receivers)]
   return (d_messages, None)
 
 

@@ -182,8 +182,41 @@ def test_chunked_encode_matches_full():
                       encode_chunks=4, decode_chunks=4)
   params = m_full.init(rng, inputs, targets, forcings)
   out_full = m_full(params, rng, inputs, targets, forcings)
-  out_chunk = m_chunk(params, rng, inputs, targets, forcings)
+  # The chunked model's graph statics use the balanced node-chunk layout —
+  # attach its own statics to the shared learned params.
+  from graphcast_tpu import train
+  learned, _ = train.partition_params(params)
+  params_chunk = m_chunk.attach_graph_statics(dict(learned), inputs)
+  out_chunk = m_chunk(params_chunk, rng, inputs, targets, forcings)
   for n in targets.var_names:
     np.testing.assert_allclose(
         np.asarray(out_chunk.data(n)), np.asarray(out_full.data(n)),
         rtol=3e-5, atol=3e-5)
+
+
+def test_fused_padded_aggregation_matches_unfused():
+  """fused_aggregation=True (padded mesh edge layout + one-hot kernel,
+  interpret mode on CPU) must match the segment-sum path, for batch > 1 too.
+  Params are NOT shared verbatim between the two models because the fused
+  model's graph_statics are padded — the learned params are identical."""
+  inputs, targets, forcings = synthetic.make_example_batch(
+      TINY_TASK, resolution=30.0, batch=2)
+  rng = jax.random.PRNGKey(0)
+  m_plain = GraphCast(TINY_MODEL, TINY_TASK, cache_dir="",
+                      fused_aggregation=False)
+  m_fused = GraphCast(TINY_MODEL, TINY_TASK, cache_dir="",
+                      fused_aggregation=True)
+  params = m_plain.init(rng, inputs, targets, forcings)
+  from graphcast_tpu import train
+  learned, _ = train.partition_params(params)
+  params_fused = m_fused.attach_graph_statics(dict(learned), inputs)
+  # The padded layout is visible in the statics.
+  assert (params_fused["graph_statics"]["mesh_senders"].shape[0]
+          >= params["graph_statics"]["mesh_senders"].shape[0])
+
+  out_plain = m_plain(params, rng, inputs, targets, forcings)
+  out_fused = m_fused(params_fused, rng, inputs, targets, forcings)
+  for n in targets.var_names:
+    np.testing.assert_allclose(
+        np.asarray(out_fused.data(n)), np.asarray(out_plain.data(n)),
+        rtol=2e-4, atol=2e-4)
