@@ -57,6 +57,13 @@ class DeepGraphNet:
   # ops.pallas_mp.BlockedSegmentSum); falls back to segment_sum when absent
   # or when shapes don't fit the kernel (batch > 1).
   edge_aggregators: Optional[Mapping[str, object]] = None
+  # Optional per-edge-set fully-fused processor steps
+  # (ops.pallas_edge.FusedEdgeStep): the entire edge-MLP + LayerNorm +
+  # residual + aggregation in one Pallas pass. Engages only for
+  # single-node-set/single-edge-set graphs with batch == 1,
+  # mlp_num_hidden_layers == 1, layer norm on and norm conditioning off
+  # (the GraphCast mesh processor); otherwise the general path runs.
+  fused_edge_steps: Optional[Mapping[str, object]] = None
 
   # ----- spec construction (all static) -----
 
@@ -223,8 +230,12 @@ class DeepGraphNet:
       return lambda *xs: spec.apply_factored_edge_update(p, *xs)
 
     edge_fn_builder = factored_fn if self.factored_edge_updates else fn
+    fused_step = self._fused_step_target(graph)
     for _ in range(self.num_processor_repetitions):
       for i in range(self.num_message_passing_steps):
+        if fused_step is not None:
+          graph = self._apply_fused_step(params, graph, i, specs, fused_step)
+          continue
         prev = graph
         graph = mp.apply_graph_network(
             graph,
@@ -252,3 +263,63 @@ class DeepGraphNet:
         embed_node_fn={n: fn(f"decoder_nodes_{n}")
                        for n in (self.node_output_size or {})} or None)
     return graph
+
+  # ----- fully-fused processor step (Pallas fast path) -----
+
+  def _fused_step_target(self, graph: TypedGraph):
+    """Returns (edge_key, fused_step) when the Pallas fused processor step
+    applies to this graph/config, else None."""
+    fes = self.fused_edge_steps or {}
+    if (not fes or len(graph.edges) != 1 or len(graph.nodes) != 1
+        or self.use_norm_conditioning or not self.use_layer_norm
+        or self.mlp_num_hidden_layers != 1
+        or self.include_sent_messages_in_node_update):
+      return None
+    key = next(iter(graph.edges))
+    step = fes.get(key.name)
+    if step is None:
+      return None
+    node_feats = graph.nodes[key.node_sets[0]].features
+    if node_feats.ndim != 3 or node_feats.shape[1] != 1:
+      return None  # batch > 1 → general path
+    if graph.edges[key].features.shape[0] != step.summer.layout_length:
+      return None  # edge set not in this step's padded layout
+    return key, step
+
+  def _apply_fused_step(self, params, graph: TypedGraph, i: int, specs,
+                        target) -> TypedGraph:
+    """One processor step via ops.pallas_edge.FusedEdgeStep: edge MLP +
+    LayerNorm + edge residual + aggregation in one kernel; node update and
+    residuals outside (cheap: num_nodes rows)."""
+    key, step = target
+    name = key.name
+    node_name = key.node_sets[0]
+    e3 = graph.edges[key].features        # [L, 1, C]
+    x3 = graph.nodes[node_name].features  # [n, 1, C]
+    e = e3[:, 0]
+    x = x3[:, 0]
+    dtype = e.dtype
+
+    pe = params[f"processor_{i}_edges_{name}"]
+    w0 = pe["mlp"]["linear_0"]["w"].astype(dtype)
+    le = e.shape[-1]
+    ln = x.shape[-1]
+    we, ws, wr = w0[:le], w0[le:le + ln], w0[le + ln:]
+    senders = graph.edges[key].indices.senders
+    gs = (x @ ws)[senders]
+    gr_pad = step.pad_nodes(x @ wr)
+    e_new, agg = step(
+        e, gs, gr_pad, we, pe["mlp"]["linear_0"]["b"],
+        pe["mlp"]["linear_1"]["w"], pe["mlp"]["linear_1"]["b"],
+        pe["layer_norm"]["scale"], pe["layer_norm"]["offset"])
+    if self.aggregate_normalization is not None:
+      agg = agg / self.aggregate_normalization
+    agg = agg.astype(dtype)
+
+    node_spec = specs[f"processor_{i}_nodes_{node_name}"]
+    n_upd = node_spec.apply(params[f"processor_{i}_nodes_{node_name}"],
+                            x3, agg[:, None])
+    return graph._replace(
+        nodes={node_name: graph.nodes[node_name]._replace(
+            features=x3 + n_upd)},
+        edges={key: graph.edges[key]._replace(features=e_new[:, None])})

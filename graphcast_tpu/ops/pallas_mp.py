@@ -36,7 +36,7 @@ def row_offsets_from_sorted_receivers(receivers: np.ndarray,
   return np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
 
 
-def _agg_kernel(chunk_base, num_chunks, node_base, receivers_ref,
+def _agg_kernel(chunk_base, num_chunks, mask_ref,
                 messages_ref, out_ref, acc_scr, *, block_nodes, chunk_edges,
                 max_chunks):
   i = pl.program_id(0)
@@ -48,11 +48,11 @@ def _agg_kernel(chunk_base, num_chunks, node_base, receivers_ref,
 
   @pl.when(j < num_chunks[i])
   def _compute():
-    base = node_base[i]
-    recv = receivers_ref[:]  # [chunk_edges] int32
-    node_ids = jax.lax.broadcasted_iota(
-        jnp.int32, (block_nodes, chunk_edges), 0) + base
-    onehot = (node_ids == recv[None, :]).astype(messages_ref.dtype)
+    # One-hot membership from the bitpacked per-chunk mask (Mosaic cannot
+    # tile 1-D int32 receiver blocks at arbitrary chunk sizes; uint32
+    # bitmaps use standard 2-D tiling and unpack in-register).
+    onehot = _unpack_receiver_mask(
+        mask_ref[0], block_nodes, chunk_edges).astype(messages_ref.dtype)
     acc_scr[:] += jax.lax.dot_general(
         onehot, messages_ref[:], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
@@ -60,6 +60,13 @@ def _agg_kernel(chunk_base, num_chunks, node_base, receivers_ref,
   @pl.when(j == max_chunks - 1)
   def _finalize():
     out_ref[0] = acc_scr[:].astype(out_ref.dtype)
+
+
+def _unpack_receiver_mask(packed, rows, cols):
+  """[rows, cols//32] uint32 → [rows, cols] bool (strided packing matching
+  ops.splash._pack_mask_bits / _unpack_mask)."""
+  from graphcast_tpu.ops.splash import _unpack_mask
+  return _unpack_mask(packed, rows, cols)
 
 
 class BlockedSegmentSum:
@@ -149,6 +156,43 @@ class BlockedSegmentSum:
     dropped by both the kernel and jax segment ops)."""
     return self.receivers_layout.reshape(-1).copy()
 
+  def block_of_chunk(self) -> np.ndarray:
+    """[total_chunks] node-block id per chunk (layout is block-major)."""
+    block_of = np.zeros(self.total_chunks, np.int32)
+    for i in range(self.num_node_blocks):
+      hi = (self.chunk_base[i + 1] if i + 1 < self.num_node_blocks
+            else self.total_chunks)
+      block_of[self.chunk_base[i]:hi] = i
+    return block_of
+
+  def onehot_masks(self):
+    """Cached bitpacked per-chunk one-hot membership masks.
+
+    Returns (mask [tc, bn, cs//32], mask_t [tc, cs, bn//32]) uint32, where
+    mask[c, v, e] says edge-slot e of chunk c points at local node v of the
+    chunk's node block. Mosaic-friendly (2-D uint32 tiles) replacement for
+    raw int32 receiver blocks.
+    """
+    if getattr(self, "_onehot_masks", None) is not None:
+      return self._onehot_masks
+    from graphcast_tpu.ops.splash import _pack_mask_bits
+    bn, cs, tc = self.block_nodes, self.chunk_edges, self.total_chunks
+    if bn % 32 or cs % 32:
+      raise ValueError("block_nodes/chunk_edges must be multiples of 32")
+    block_of = self.block_of_chunk()
+    rloc = self.receivers_layout.astype(np.int64)
+    node_base = self.node_base[block_of].astype(np.int64)
+    local = rloc - node_base[:, None]
+    ids = np.arange(bn, dtype=np.int64)
+    onehot = local[:, None, :] == ids[None, :, None]       # [tc, bn, cs]
+    mask = _pack_mask_bits(onehot.reshape(tc * bn, cs)).reshape(
+        tc, bn, cs // 32)
+    onehot_t = onehot.transpose(0, 2, 1)
+    mask_t = _pack_mask_bits(onehot_t.reshape(tc * cs, bn)).reshape(
+        tc, cs, bn // 32)
+    self._onehot_masks = (mask, mask_t)
+    return self._onehot_masks
+
   def __call__(self, messages):
     """messages: [E(, B), C] → [num_nodes(, B), C] sums; E is the original
     edge count, or ``layout_length`` when ``padded_input=True``.
@@ -180,28 +224,30 @@ class BlockedSegmentSum:
           jnp.asarray(self.layout_index)]
     total_chunks = self.total_chunks
 
+    mask, _ = self.onehot_masks()
     kernel = functools.partial(
         _agg_kernel, block_nodes=self.block_nodes,
         chunk_edges=self.chunk_edges, max_chunks=self.max_chunks)
     out = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=3,
+            num_scalar_prefetch=2,
             grid=(self.num_node_blocks, self.max_chunks),
             in_specs=[
                 # Clamp so inactive trailing chunks (j ≥ num_chunks[i]) stay
                 # in bounds; their compute is skipped by pl.when.
-                pl.BlockSpec((self.chunk_edges,),
-                             lambda i, j, cb, nc, nb: (
-                                 jnp.minimum(cb[i] + j, total_chunks - 1),)),
+                pl.BlockSpec((1, self.block_nodes, self.chunk_edges // 32),
+                             lambda i, j, cb, nc: (
+                                 jnp.minimum(cb[i] + j, total_chunks - 1),
+                                 0, 0)),
                 pl.BlockSpec((self.chunk_edges, c),
-                             lambda i, j, cb, nc, nb: (
+                             lambda i, j, cb, nc: (
                                  jnp.minimum(cb[i] + j, total_chunks - 1),
                                  0)),
             ],
             out_specs=pl.BlockSpec(
                 (1, self.block_nodes, c),
-                lambda i, j, cb, nc, nb: (i, 0, 0)),
+                lambda i, j, cb, nc: (i, 0, 0)),
             scratch_shapes=[
                 pltpu.VMEM((self.block_nodes, c), jnp.float32)],
         ),
@@ -209,8 +255,7 @@ class BlockedSegmentSum:
             (self.num_node_blocks, self.block_nodes, c), messages.dtype),
         interpret=interpret,
     )(jnp.asarray(self.chunk_base), jnp.asarray(self.num_chunks),
-      jnp.asarray(self.node_base),
-      jnp.asarray(self.receivers_layout.reshape(-1)), msgs)
+      jnp.asarray(mask), msgs)
     return out.reshape(self.num_node_blocks * self.block_nodes,
                        c)[:self.num_nodes]
 

@@ -1,0 +1,132 @@
+"""Validates the fused edge-step kernel against the unfused composition."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from graphcast_tpu.ops import pallas_edge, pallas_mp
+
+
+def make_setup(seed=0, n=96, e=600, c=128, bn=32, cs=64):
+  rng = np.random.RandomState(seed)
+  receivers = np.sort(rng.randint(0, n, e)).astype(np.int32)
+  # Ensure no empty node block (every block must own ≥ 1 edge).
+  receivers[:n] = np.arange(n)
+  receivers = np.sort(receivers)
+  summer = pallas_mp.BlockedSegmentSum(
+      receivers, n, block_nodes=bn, chunk_edges=cs, interpret=True,
+      padded_input=True)
+  step = pallas_edge.FusedEdgeStep(summer, interpret=True)
+  senders = rng.randint(0, n, e).astype(np.int32)
+
+  e_pad = jnp.asarray(summer.pad_edges(
+      rng.randn(e, c).astype(np.float32)))
+  x = jnp.asarray(rng.randn(n, c).astype(np.float32))
+  params = dict(
+      we=jnp.asarray(rng.randn(c, c).astype(np.float32) * 0.05),
+      ws=jnp.asarray(rng.randn(c, c).astype(np.float32) * 0.05),
+      wr=jnp.asarray(rng.randn(c, c).astype(np.float32) * 0.05),
+      b0=jnp.asarray(rng.randn(c).astype(np.float32) * 0.1),
+      w1=jnp.asarray(rng.randn(c, c).astype(np.float32) * 0.05),
+      b1=jnp.asarray(rng.randn(c).astype(np.float32) * 0.1),
+      scale=jnp.asarray(1.0 + 0.1 * rng.randn(c).astype(np.float32)),
+      offset=jnp.asarray(0.1 * rng.randn(c).astype(np.float32)))
+  return summer, step, senders, receivers, e_pad, x, params
+
+
+def unfused_reference(summer, senders, receivers, e_orig, x, p):
+  """The processor edge step in plain ops, on the ORIGINAL edge order."""
+  x0 = (e_orig @ p["we"] + (x @ p["ws"])[senders]
+        + (x @ p["wr"])[receivers] + p["b0"][None])
+  h = x0 * jax.nn.sigmoid(x0)
+  y = h @ p["w1"] + p["b1"][None]
+  mean = jnp.mean(y, axis=-1, keepdims=True)
+  var = jnp.mean(jnp.square(y - mean), axis=-1, keepdims=True)
+  yn = (y - mean) * jax.lax.rsqrt(var + pallas_edge.LN_EPS)
+  yn = yn * p["scale"][None] + p["offset"][None]
+  eout = e_orig + yn
+  agg = jax.ops.segment_sum(yn, jnp.asarray(receivers),
+                            num_segments=summer.num_nodes,
+                            indices_are_sorted=True)
+  return eout, agg
+
+
+def run_fused(step, senders, e_pad, x, p):
+  summer = step.summer
+  gs = (x @ p["ws"])[jnp.asarray(summer.pad_edges(senders))]
+  gr_pad = step.pad_nodes(x @ p["wr"])
+  return step(e_pad, gs, gr_pad, p["we"], p["b0"], p["w1"], p["b1"],
+              p["scale"], p["offset"])
+
+
+def test_fused_edge_step_matches_unfused():
+  summer, step, senders, receivers, e_pad, x, p = make_setup()
+  e_orig = jnp.asarray(np.asarray(e_pad)[summer.layout_index
+                                         [summer.layout_index
+                                          < summer.num_edges]])
+  # Recover the original-order edge latents from the padded layout.
+  valid = summer.layout_index < summer.num_edges
+  e_orig = jnp.zeros((summer.num_edges, e_pad.shape[-1]), e_pad.dtype)
+  e_orig = e_orig.at[summer.layout_index[valid]].set(
+      jnp.asarray(np.asarray(e_pad)[valid]))
+
+  eout_pad, agg = run_fused(step, senders, e_pad, x, p)
+  want_eout, want_agg = unfused_reference(
+      summer, senders, receivers, e_orig, x, p)
+
+  got_eout = np.asarray(eout_pad)[valid]
+  idx = summer.layout_index[valid]
+  np.testing.assert_allclose(got_eout, np.asarray(want_eout)[idx],
+                             rtol=2e-5, atol=2e-5)
+  np.testing.assert_allclose(np.asarray(agg), np.asarray(want_agg),
+                             rtol=2e-4, atol=2e-4)
+
+
+def test_fused_edge_step_gradients():
+  summer, step, senders, receivers, e_pad, x, p = make_setup(seed=1)
+  valid = summer.layout_index < summer.num_edges
+  idx = summer.layout_index[valid]
+  w_e = jnp.asarray(np.random.RandomState(2).randn(
+      summer.num_edges, e_pad.shape[-1]).astype(np.float32))
+  w_a = jnp.asarray(np.random.RandomState(3).randn(
+      summer.num_nodes, e_pad.shape[-1]).astype(np.float32))
+
+  del w_e
+
+  def loss_fused2(e_pad, x, p):
+    eout_pad, agg = run_fused(step, senders, e_pad, x, p)
+    return (jnp.sum(jnp.square(eout_pad[jnp.asarray(np.nonzero(valid)[0])]))
+            + jnp.sum(agg * w_a))
+
+  def loss_unfused(e_orig, x, p):
+    eout, agg = unfused_reference(summer, senders, receivers, e_orig, x, p)
+    return jnp.sum(jnp.square(eout)) + jnp.sum(agg * w_a)
+
+  e_orig = jnp.zeros((summer.num_edges, e_pad.shape[-1]), e_pad.dtype)
+  e_orig = e_orig.at[idx].set(jnp.asarray(np.asarray(e_pad)[valid]))
+
+  g_fused = jax.grad(loss_fused2, argnums=(0, 1))(e_pad, x, p)
+  g_unfused = jax.grad(loss_unfused, argnums=(0, 1))(e_orig, x, p)
+
+  # Edge grads: compare on real slots mapped back to original order.
+  de_pad = np.asarray(g_fused[0])
+  de = np.zeros((summer.num_edges, e_pad.shape[-1]), np.float32)
+  de[idx] = de_pad[valid]
+  np.testing.assert_allclose(de, np.asarray(g_unfused[0]),
+                             rtol=2e-4, atol=2e-4)
+  np.testing.assert_allclose(np.asarray(g_fused[1]),
+                             np.asarray(g_unfused[1]),
+                             rtol=2e-4, atol=2e-4)
+
+
+def test_empty_block_rejected():
+  receivers = np.sort(np.concatenate(
+      [np.zeros(50, np.int32), np.full(50, 99, np.int32)]))
+  summer = pallas_mp.BlockedSegmentSum(receivers, 100, block_nodes=25,
+                                       chunk_edges=32, interpret=True,
+                                       padded_input=True)
+  with pytest.raises(ValueError):
+    pallas_edge.FusedEdgeStep(summer, interpret=True)
