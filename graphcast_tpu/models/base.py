@@ -67,3 +67,13 @@ class WrapperPredictor(Predictor):
   def init(self, rng, inputs, targets_template, forcings, **kwargs):
     return self._predictor.init(rng, inputs, targets_template, forcings,
                                 **kwargs)
+
+  def precompute_step_statics(self, params, inputs):
+    """Delegates to the innermost predictor: returns kwargs with values
+    that are constant across autoregressive steps (e.g. embedded static
+    edge features) so Autoregressive can compute them ONCE outside its
+    scan. Returns {} when the inner model has nothing to hoist."""
+    inner = getattr(self._predictor, "precompute_step_statics", None)
+    if inner is None:
+      return {}
+    return inner(params, inputs)

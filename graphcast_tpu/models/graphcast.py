@@ -248,9 +248,62 @@ class GraphCast(Predictor):
                                  statics["m2g_receivers"]),
             features=edge_feats)})
 
+  # ----- static edge-latent hoisting (scan-invariant precompute) -----
+
+  def precompute_step_statics(self, params, inputs):
+    """Values constant across autoregressive steps, computed ONCE before
+    the rollout scan: the encoder/decoder edge features are purely
+    structural, so their edge-embed MLP output — already multiplied into
+    the processor edge MLP's first layer (+bias) — never changes. Hoisting
+    it saves two [E, 512] matmul passes per edge set per step at the cost
+    of persisting [E, 512] latents in HBM (~5 GB at 0.25°, fits alongside
+    the 16 GB working set)."""
+    self._maybe_init(inputs)
+    if self._encode_chunks <= 1 and self._decode_chunks <= 1:
+      return {}
+    statics = self._statics(params)
+    dtype = inputs[inputs.var_names[0]].data.dtype
+    if not jnp.issubdtype(dtype, jnp.floating):
+      dtype = jnp.float32
+    out = {}
+    if self._encode_chunks > 1:
+      out["g2m_const"] = self._static_edge_const(
+          params["grid2mesh_gnn"], self._grid2mesh_gnn,
+          statics["g2m_edge_features"], self._g2m_plan.num_chunks, dtype)
+    if self._decode_chunks > 1:
+      k = self._choose_chunks(self._artifact.num_grid_nodes,
+                              self._decode_chunks)
+      out["m2g_const"] = self._static_edge_const(
+          params["mesh2grid_gnn"], self._mesh2grid_gnn,
+          statics["m2g_edge_features"], k, dtype)
+    return {"static_edge_latents": out} if out else {}
+
+  def _static_edge_const(self, p, gnn, edge_features, num_chunks, dtype):
+    """embed(edge_feats) @ We + b0 for one edge set, chunked: the static
+    part of the factored processor edge update. [E_padded, 1, latent]."""
+    latent = self._mc.latent_size
+    edge_name = next(iter(gnn.edge_latent_size))
+    e_feats = edge_features.astype(dtype)
+    total = e_feats.shape[0]
+    k = self._choose_chunks(total, num_chunks)
+    e_feats = e_feats.reshape(k, total // k, -1)
+    ee_spec = gnn._mlp_with_norm(e_feats.shape[-1], latent)
+    pe = p[f"processor_0_edges_{edge_name}"]
+    w0 = pe["mlp"]["linear_0"]["w"].astype(dtype)
+    we = w0[:latent]
+    b0 = pe["mlp"]["linear_0"]["b"].astype(dtype)
+
+    def chunk_fn(e_feat):
+      e_lat = ee_spec.apply(p[f"encoder_edges_{edge_name}"],
+                            _add_batch_second_axis(e_feat, 1))
+      return e_lat @ we + b0
+
+    return jax.lax.map(chunk_fn, e_feats).reshape(total, 1, latent)
+
   # ----- chunked grid2mesh encode (memory-bounded, exact math) -----
 
-  def _run_grid2mesh_chunked(self, params, statics, grid_node_features):
+  def _run_grid2mesh_chunked(self, params, statics, grid_node_features,
+                             const=None):
     """The grid2mesh GNN evaluated in sequential balanced node chunks.
 
     The encoder's edge latents are only consumed by the single aggregation
@@ -307,7 +360,6 @@ class GraphCast(Predictor):
 
     plan = self._g2m_plan
     k, max_e, max_n = plan.num_chunks, plan.max_edges, plan.max_nodes
-    e_feats = statics["g2m_edge_features"].astype(dtype).reshape(k, max_e, -1)
     senders = statics["g2m_senders"].reshape(k, max_e)
     receivers = statics["g2m_receivers"].reshape(k, max_e)
     local_recv = statics["g2m_local_receivers"].reshape(k, max_e)
@@ -318,11 +370,24 @@ class GraphCast(Predictor):
     activation = get_activation(gnn.activation)
     mlp_layers = pe_spec._mlp._layers()
 
+    if const is not None:
+      # Hoisted static part: embed(e_feats) @ We + b0, precomputed once per
+      # rollout (precompute_step_statics).
+      first_layer = const.astype(dtype).reshape(k, max_e, 1, -1)
+    else:
+      first_layer = None
+      e_feats = statics["g2m_edge_features"].astype(dtype).reshape(
+          k, max_e, -1)
+
     def encode_chunk(xs):
-      e_feat, s_idx, r_idx, r_local = xs
-      e_lat = ee_spec.apply(pee, _add_batch_second_axis(e_feat, batch))
-      # Factored first layer of the processor edge MLP.
-      x = e_lat @ we + grid_proj[s_idx] + mesh_proj[r_idx] + b0
+      if first_layer is not None:
+        c_chunk, s_idx, r_idx, r_local = xs
+        x = c_chunk + grid_proj[s_idx] + mesh_proj[r_idx]
+      else:
+        e_feat, s_idx, r_idx, r_local = xs
+        e_lat = ee_spec.apply(pee, _add_batch_second_axis(e_feat, batch))
+        # Factored first layer of the processor edge MLP.
+        x = e_lat @ we + grid_proj[s_idx] + mesh_proj[r_idx] + b0
       for i in range(1, len(mlp_layers)):
         x = activation(x)
         x = mlp_layers[i].apply(pe["mlp"][f"linear_{i}"], x)
@@ -333,7 +398,8 @@ class GraphCast(Predictor):
           x.astype(jnp.float32), r_local, num_segments=max_n,
           indices_are_sorted=True)
 
-    aggs = jax.lax.map(encode_chunk, (e_feats, senders, receivers,
+    lead = first_layer if first_layer is not None else e_feats
+    aggs = jax.lax.map(encode_chunk, (lead, senders, receivers,
                                       local_recv))  # [k, max_n, B, latent]
     agg = aggs.reshape(k * max_n, batch, latent)[statics["g2m_node_gather"]]
     if gnn.aggregate_normalization:
@@ -358,7 +424,7 @@ class GraphCast(Predictor):
     return k
 
   def _run_mesh2grid_chunked(self, params, statics, latent_mesh_nodes,
-                             latent_grid_nodes):
+                             latent_grid_nodes, const=None):
     """The mesh2grid GNN evaluated in sequential grid-node chunks.
 
     Exploits two static properties: the decoder has exactly 3 edges per grid
@@ -366,6 +432,10 @@ class GraphCast(Predictor):
     receiver-sorted, so each chunk of grid nodes owns one contiguous edge
     range and the aggregation is a reshape-sum. Peak memory scales with
     E/num_chunks instead of E.
+
+    With ``const`` (hoisted static edge latents, precompute_step_statics),
+    the embed MLP and first-layer edge matmul are skipped and the mesh
+    projection is computed once outside the chunk loop.
     """
     art = self._artifact
     gnn = self._mesh2grid_gnn
@@ -389,21 +459,44 @@ class GraphCast(Predictor):
     proc_n_spec = specs["processor_0_nodes_grid_nodes"]
     dec_spec = specs["decoder_nodes_grid_nodes"]
 
-    e_feats = statics["m2g_edge_features"].astype(dtype).reshape(
-        k, 3 * gc, -1)
     senders = statics["m2g_senders"].reshape(k, 3 * gc)
     grid_chunks = latent_grid_nodes.reshape(
         k, gc, batch, latent)
     receivers_local = jnp.repeat(
         jnp.arange(gc, dtype=jnp.int32), 3)
 
+    pe = p["processor_0_edges_mesh2grid"]
+    from graphcast_tpu.nn.core import get_activation
+    activation = get_activation(gnn.activation)
+    mlp_layers = proc_e_spec._mlp._layers()
+    w0 = pe["mlp"]["linear_0"]["w"].astype(dtype)
+    ws, wr = w0[latent:2 * latent], w0[2 * latent:]
+    # Sender (mesh) projection of the factored first layer, once for all
+    # chunks instead of once per chunk.
+    mesh_proj = latent_mesh_nodes @ ws
+
+    if const is not None:
+      lead = const.astype(dtype).reshape(k, 3 * gc, 1, -1)
+    else:
+      lead = statics["m2g_edge_features"].astype(dtype).reshape(
+          k, 3 * gc, -1)
+
     def decode_chunk(args):
-      grid_chunk, e_feat, senders_chunk = args
-      e_feat_b = _add_batch_second_axis(e_feat, batch)
-      e_lat = embed_spec.apply(p["encoder_edges_mesh2grid"], e_feat_b)
-      e_upd = proc_e_spec.apply_factored_edge_update(
-          p["processor_0_edges_mesh2grid"], e_lat,
-          latent_mesh_nodes, grid_chunk, senders_chunk, receivers_local)
+      grid_chunk, lead_chunk, senders_chunk = args
+      if const is not None:
+        x = lead_chunk + mesh_proj[senders_chunk] + (
+            grid_chunk @ wr)[receivers_local]
+      else:
+        e_feat_b = _add_batch_second_axis(lead_chunk, batch)
+        e_lat = embed_spec.apply(p["encoder_edges_mesh2grid"], e_feat_b)
+        we = w0[:latent]
+        b0 = pe["mlp"]["linear_0"]["b"].astype(dtype)
+        x = (e_lat @ we + mesh_proj[senders_chunk]
+             + (grid_chunk @ wr)[receivers_local] + b0)
+      for i in range(1, len(mlp_layers)):
+        x = activation(x)
+        x = mlp_layers[i].apply(pe["mlp"][f"linear_{i}"], x)
+      e_upd = proc_e_spec._norm(pe, x, None)
       # Exactly 3 receiver-sorted edges per grid node: aggregation is a
       # reshape-sum (replaces the scatter-add entirely).
       agg = e_upd.reshape(gc, 3, batch, latent).sum(axis=1)
@@ -412,7 +505,7 @@ class GraphCast(Predictor):
       n_res = grid_chunk + n_upd
       return dec_spec.apply(p["decoder_nodes_grid_nodes"], n_res)
 
-    out = jax.lax.map(decode_chunk, (grid_chunks, e_feats, senders))
+    out = jax.lax.map(decode_chunk, (grid_chunks, lead, senders))
     return out.reshape(g_total, batch, -1)
 
   # ----- feature packing -----
@@ -476,18 +569,19 @@ class GraphCast(Predictor):
     return {**params, "graph_statics": self._host_statics()}
 
   def __call__(self, params, rng, inputs, targets_template, forcings,
-               **kwargs):
+               static_edge_latents=None, **kwargs):
     del rng  # deterministic
     self._maybe_init(inputs)
     grid_node_features = self._inputs_to_grid_node_features(inputs, forcings)
 
     statics = self._statics(params)
+    sel = static_edge_latents or {}
 
     # Encode (grid2mesh).
     with jax.named_scope("grid2mesh_gnn"):
       if self._encode_chunks > 1:
         latent_mesh_nodes, latent_grid_nodes = self._run_grid2mesh_chunked(
-            params, statics, grid_node_features)
+            params, statics, grid_node_features, const=sel.get("g2m_const"))
       else:
         g2m_out = self._grid2mesh_gnn.apply(
             params["grid2mesh_gnn"],
@@ -505,7 +599,8 @@ class GraphCast(Predictor):
     with jax.named_scope("mesh2grid_gnn"):
       if self._decode_chunks > 1:
         output_grid_nodes = self._run_mesh2grid_chunked(
-            params, statics, updated_latent_mesh_nodes, latent_grid_nodes)
+            params, statics, updated_latent_mesh_nodes, latent_grid_nodes,
+            const=sel.get("m2g_const"))
       else:
         m2g_out = self._mesh2grid_gnn.apply(
             params["mesh2grid_gnn"],

@@ -97,6 +97,9 @@ class Autoregressive(WrapperPredictor):
 
   def __call__(self, params, rng, inputs, targets_template, forcings,
                **kwargs):
+    # Hoist scan-invariant inner-model precomputations (e.g. static edge
+    # latents) out of the per-step scan body.
+    kwargs = {**kwargs, **self.precompute_step_statics(params, inputs)}
     constant_inputs, inputs = _split_constant_inputs(
         inputs, targets_template, forcings)
     _validate(targets_template, forcings)
@@ -151,6 +154,7 @@ class Autoregressive(WrapperPredictor):
     targets_template only needs a single timestep (a full-horizon template
     would itself be a multi-GB argument at 0.25°).
     """
+    kwargs = {**kwargs, **self.precompute_step_statics(params, inputs)}
     constant_inputs, inputs = _split_constant_inputs(
         inputs, targets_template, forcings)
     _validate(targets_template, forcings)
@@ -192,6 +196,7 @@ class Autoregressive(WrapperPredictor):
     return self._loss_scan(params, rng, inputs, targets, forcings, **kwargs)
 
   def _loss_scan(self, params, rng, inputs, targets, forcings, **kwargs):
+    kwargs = {**kwargs, **self.precompute_step_statics(params, inputs)}
     constant_inputs, inputs = _split_constant_inputs(
         inputs, targets, forcings)
     _validate(targets, forcings)

@@ -32,6 +32,16 @@ class Bfloat16Cast(WrapperPredictor):
     super().__init__(predictor)
     self._enabled = enabled
 
+  def precompute_step_statics(self, params, inputs):
+    # Hoisted step statics are consumed inside the bf16 region: compute
+    # them at the activation dtype the inner model will see.
+    inner = getattr(self._predictor, "precompute_step_statics", None)
+    if inner is None:
+      return {}
+    if self._enabled:
+      inputs = inputs.astype(jnp.bfloat16)
+    return inner(params, inputs)
+
   def __call__(self, params, rng, inputs, targets_template, forcings,
                **kwargs):
     if not self._enabled:

@@ -255,3 +255,45 @@ def test_fused_edge_step_model_matches_unfused_batch1():
   leaves = jax.tree_util.tree_leaves(g)
   assert all(np.isfinite(np.asarray(x)).all() for x in leaves)
   assert any(float(jnp.abs(x).max()) > 0 for x in leaves)
+
+
+def test_hoisted_static_edge_latents_match():
+  """precompute_step_statics' hoisted encoder/decoder constants must give
+  the same predictions as the per-step computation, and the Autoregressive
+  wrapper must produce identical rollouts with hoisting active."""
+  inputs, targets, forcings = synthetic.make_example_batch(
+      TINY_TASK, resolution=30.0, batch=2, num_target_times=2)
+  rng = jax.random.PRNGKey(0)
+  m = GraphCast(TINY_MODEL, TINY_TASK, cache_dir="", encode_chunks=4,
+                decode_chunks=4)
+  t1 = targets.isel(time=slice(0, 1))
+  f1 = forcings.isel(time=slice(0, 1))
+  params = m.init(rng, inputs, t1, f1)
+
+  out_plain = m(params, rng, inputs, t1, f1)
+  hoisted = m.precompute_step_statics(params, inputs)
+  assert "static_edge_latents" in hoisted
+  sel = hoisted["static_edge_latents"]
+  assert set(sel) == {"g2m_const", "m2g_const"}
+  out_hoisted = m(params, rng, inputs, t1, f1, **hoisted)
+  for n in targets.var_names:
+    np.testing.assert_allclose(
+        np.asarray(out_hoisted.data(n)), np.asarray(out_plain.data(n)),
+        rtol=2e-5, atol=2e-5)
+
+  # Through the full wrapper stack (f32 so the 2-step AR comparison is
+  # tight): hoisting ON (automatic via Autoregressive.precompute) must
+  # equal hoisting OFF on the same model.
+  stddev, mean, diffs_stddev = synthetic.make_norm_stats(TINY_TASK)
+  pred = Autoregressive(InputsAndResiduals(
+      m, stddev_by_level=stddev, mean_by_level=mean,
+      diffs_stddev_by_level=diffs_stddev))
+  out_hoist = pred(params, rng, inputs, targets, forcings)
+  from unittest import mock
+  with mock.patch.object(GraphCast, "precompute_step_statics",
+                         return_value={}):
+    out_nohoist = pred(params, rng, inputs, targets, forcings)
+  for n in targets.var_names:
+    np.testing.assert_allclose(
+        np.asarray(out_hoist.data(n)), np.asarray(out_nohoist.data(n)),
+        rtol=1e-4, atol=1e-4)
