@@ -478,6 +478,78 @@ class BlockSparseAttention:
     return _MapHolder(self._map, self._block_q, self._block_kv,
                       self._bwd_map, self._block_q_bwd, self._block_kv_bwd)
 
+  def sequence_parallel(self, mesh, axis: str):
+    """Returns fn(q, k, v, scale) computing this attention with the q/node
+    axis sharded over ``mesh`` axis ``axis`` (the reference kernel's
+    q_seq_shards, sparse_transformer.py:271-273, which it never uses > 1).
+
+    Each shard holds a contiguous range of q blocks plus replicated k/v;
+    the per-q-block scalar-prefetch maps and bitpacked masks shard along
+    the same axis. Forward and dq are communication-free; dk/dv partial
+    sums are reduced by shard_map's transpose (k/v enter replicated).
+    """
+    from jax.sharding import PartitionSpec as P
+    try:
+      from jax import shard_map
+    except ImportError:  # older jax
+      from jax.experimental.shard_map import shard_map
+
+    m = self._map
+    S = int(mesh.shape[axis])
+    nq, nkv, ma = m["nq"], m["nkv"], m["ma"]
+    bq, bkv = self._block_q, self._block_kv
+    if nq % S:
+      raise ValueError(
+          f"{nq} q blocks do not divide over {S} '{axis}' shards; pick a "
+          f"block_q so the padded node count splits evenly")
+    nq_l = nq // S
+
+    kv_index = m["kv_index"].reshape(S, nq_l, ma)
+    kv_count = m["kv_count"].reshape(S, nq_l)
+    mask_blocks = m["mask_blocks"].reshape(S, nq_l * ma, bq, bkv // 32)
+    q_index, q_count, mask_t, mat_l = _build_shard_transposed_maps(m, S)
+    dims = _SpDims(nq_l, nkv, ma, mat_l, nq_l * bq, m["n_kv_pad"], bq, bkv)
+    interpret = self._interpret
+    if interpret is None:
+      interpret = jax.default_backend() != "tpu"
+    n = m["n"]
+
+    def fn(q, k, v, scale=None):
+      if scale is None:
+        scale = q.shape[-1] ** -0.5
+      scale = float(scale)
+      batch, n_in, heads, d = q.shape
+      if n_in != n:
+        raise ValueError(f"mask built for {n} nodes, got {n_in}")
+
+      def local_fn(qb, kb, vb, kvi, kvc, mb, qi, qc, mbt):
+        return _attend_arrays(qb, kb, vb, kvi[0], kvc[0], mb[0], qi[0],
+                              qc[0], mbt[0], dims, scale, interpret)
+
+      # check_vma off: pallas_call out_shapes don't carry vma metadata.
+      sharded = shard_map(
+          local_fn, mesh=mesh,
+          in_specs=(P(None, axis, None), P(), P(),
+                    P(axis), P(axis), P(axis), P(axis), P(axis), P(axis)),
+          out_specs=P(None, axis, None),
+          check_vma=False)
+
+      def to_bh(x, n_pad):
+        x = jnp.swapaxes(x, 1, 2).reshape(batch * heads, n_in, d)
+        return jnp.pad(x, ((0, 0), (0, n_pad - n_in), (0, 0)))
+
+      qb = to_bh(q, m["n_q_pad"])
+      kb = to_bh(k, m["n_kv_pad"])
+      vb = to_bh(v, m["n_kv_pad"])
+      ob = sharded(qb, kb, vb, jnp.asarray(kv_index),
+                   jnp.asarray(kv_count), jnp.asarray(mask_blocks),
+                   jnp.asarray(q_index), jnp.asarray(q_count),
+                   jnp.asarray(mask_t))
+      ob = ob[:, :n_in].reshape(batch, heads, n_in, d)
+      return jnp.swapaxes(ob, 1, 2)
+
+    return fn
+
 
 class _MapHolder:
   """Hashable holder so the block maps can be static args of custom_vjp."""
@@ -534,6 +606,118 @@ _attend.defvjp(_attend_fwd, _attend_bwd)
 
 def _round_up(x: int, m: int) -> int:
   return ((x + m - 1) // m) * m
+
+
+# ---------------------------------------------------------------------------
+# Sequence parallelism: shard the q/node axis over a mesh axis.
+# ---------------------------------------------------------------------------
+#
+# The reference's splash kernel exposes q_seq_shards but always uses 1
+# (sparse_transformer.py:271-273). Here we shard the q-block axis over an ICI
+# mesh axis: every shard holds its contiguous q-node range plus the FULL k/v
+# (replicated), and — because the block maps are per-q-block — the scalar-
+# prefetch maps and bitpacked masks shard along the same axis, so each chip
+# runs the same kernel on its slice with no communication in the forward
+# pass. The backward dq is equally local; dk/dv are partial sums per shard
+# that shard_map's transpose reduces (psum) because k/v enter replicated.
+
+
+class _SpDims:
+  """Hashable static dims for the array-operand attention entry point."""
+
+  def __init__(self, nq, nkv, ma, mat, n_q_pad, n_kv_pad, block_q, block_kv):
+    self.nq, self.nkv, self.ma, self.mat = nq, nkv, ma, mat
+    self.n_q_pad, self.n_kv_pad = n_q_pad, n_kv_pad
+    self.block_q, self.block_kv = block_q, block_kv
+
+  def _key(self):
+    return (self.nq, self.nkv, self.ma, self.mat, self.n_q_pad,
+            self.n_kv_pad, self.block_q, self.block_kv)
+
+  def __hash__(self):
+    return hash(self._key())
+
+  def __eq__(self, other):
+    return isinstance(other, _SpDims) and other._key() == self._key()
+
+  def as_map(self, kv_index, kv_count, mask_blocks, q_index, q_count,
+             mask_blocks_t):
+    return dict(
+        n=self.n_q_pad, nq=self.nq, nkv=self.nkv, ma=self.ma, mat=self.mat,
+        n_q_pad=self.n_q_pad, n_kv_pad=self.n_kv_pad,
+        kv_index=kv_index, kv_count=kv_count, mask_blocks=mask_blocks,
+        q_index=q_index, q_count=q_count, mask_blocks_t=mask_blocks_t)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11))
+def _attend_arrays(q, k, v, kv_index, kv_count, mask_blocks,
+                   q_index, q_count, mask_blocks_t, dims, scale, interpret):
+  """Like _attend, but with the block maps as ARRAY operands (required for
+  SPMD: under shard_map each device carries its own map slice)."""
+  m = dims.as_map(kv_index, kv_count, mask_blocks, q_index, q_count,
+                  mask_blocks_t)
+  o, _ = _fwd(q, k, v, m, dims.block_q, dims.block_kv, scale, interpret)
+  return o
+
+
+def _attend_arrays_fwd(q, k, v, kv_index, kv_count, mask_blocks,
+                       q_index, q_count, mask_blocks_t, dims, scale,
+                       interpret):
+  m = dims.as_map(kv_index, kv_count, mask_blocks, q_index, q_count,
+                  mask_blocks_t)
+  o, lse = _fwd(q, k, v, m, dims.block_q, dims.block_kv, scale, interpret)
+  return o, (q, k, v, o, lse, kv_index, kv_count, mask_blocks, q_index,
+             q_count, mask_blocks_t)
+
+
+def _attend_arrays_bwd(dims, scale, interpret, residuals, do):
+  (q, k, v, o, lse, kv_index, kv_count, mask_blocks, q_index, q_count,
+   mask_blocks_t) = residuals
+  m = dims.as_map(kv_index, kv_count, mask_blocks, q_index, q_count,
+                  mask_blocks_t)
+  dq, dk, dv = _bwd(q, k, v, o, lse, do, m, dims.block_q, dims.block_kv,
+                    scale, interpret)
+
+  def f0(x):  # integer operands take float0 cotangents
+    return np.zeros(x.shape, jax.dtypes.float0)
+
+  return (dq, dk, dv, f0(kv_index), f0(kv_count), f0(mask_blocks),
+          f0(q_index), f0(q_count), f0(mask_blocks_t))
+
+
+_attend_arrays.defvjp(_attend_arrays_fwd, _attend_arrays_bwd)
+
+
+def _build_shard_transposed_maps(block_map, num_shards):
+  """Per-shard kv→(local q block) maps for the dkv kernel."""
+  nq, nkv, ma = block_map["nq"], block_map["nkv"], block_map["ma"]
+  nq_l = nq // num_shards
+  kv_index = block_map["kv_index"]
+  kv_count = block_map["kv_count"]
+  mask_blocks = block_map["mask_blocks"]  # [nq*ma, bq, bkv//32]
+
+  per_shard = [[[] for _ in range(nkv)] for _ in range(num_shards)]
+  for i in range(nq):
+    s = i // nq_l
+    for slot in range(int(kv_count[i])):
+      j = int(kv_index[i, slot])
+      per_shard[s][j].append((i - s * nq_l, i * ma + slot))
+  mat_l = max(
+      (len(lst) for shard in per_shard for lst in shard), default=1)
+  mat_l = max(mat_l, 1)
+
+  bq_words = mask_blocks.shape[1:]
+  q_index = np.zeros((num_shards, nkv, mat_l), np.int32)
+  q_count = np.zeros((num_shards, nkv), np.int32)
+  mask_t = np.zeros((num_shards, nkv * mat_l) + bq_words, mask_blocks.dtype)
+  for s in range(num_shards):
+    for j in range(nkv):
+      lst = per_shard[s][j]
+      q_count[s, j] = len(lst)
+      for t, (local_q, mask_row) in enumerate(lst):
+        q_index[s, j, t] = local_q
+        mask_t[s, j * mat_l + t] = mask_blocks[mask_row]
+  return q_index, q_count, mask_t, mat_l
 
 
 def reference_masked_attention(q, k, v, mask, scale=None):

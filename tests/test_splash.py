@@ -135,3 +135,39 @@ def test_block_map_sparsity():
                                                block_kv=128)
   # Bandwidth 64, blocks 128 → ≤ 3 active kv blocks per q block of 8 total.
   assert attn.fraction_visited <= 3 / 8 + 1e-6
+
+
+def test_sequence_parallel_matches_single_device():
+  """q_seq sharding over an 8-device mesh: forward and grads must equal the
+  single-device kernel (k/v cotangents psum-reduced across shards)."""
+  from graphcast_tpu.parallel import sharding as sharding_lib
+
+  n, bandwidth = 512, 48
+  mask = make_banded_mask(n, bandwidth, seed=4)
+  attn = splash.BlockSparseAttention.from_mask(mask, block_q=64,
+                                               block_kv=64, interpret=True)
+  mesh = sharding_lib.make_mesh({"sp": 8})
+  sp_fn = attn.sequence_parallel(mesh, "sp")
+
+  rng = jax.random.PRNGKey(0)
+  kq, kk, kv_, kt = jax.random.split(rng, 4)
+  shape = (1, n, 1, 128)
+  q = jax.random.normal(kq, shape, jnp.float32)
+  k = jax.random.normal(kk, shape, jnp.float32)
+  v = jax.random.normal(kv_, shape, jnp.float32)
+  target = jax.random.normal(kt, shape, jnp.float32)
+
+  out_sp = jax.jit(sp_fn)(q, k, v)
+  out_1 = attn(q, k, v)
+  np.testing.assert_allclose(np.asarray(out_sp), np.asarray(out_1),
+                             rtol=2e-4, atol=2e-4)
+
+  def loss(fn):
+    return lambda q, k, v: jnp.sum((fn(q, k, v) - target) ** 2)
+
+  g_sp = jax.jit(jax.grad(loss(sp_fn), argnums=(0, 1, 2)))(q, k, v)
+  g_1 = jax.grad(loss(attn), argnums=(0, 1, 2))(q, k, v)
+  for gs, g1, name in zip(g_sp, g_1, "qkv"):
+    np.testing.assert_allclose(np.asarray(gs), np.asarray(g1),
+                               rtol=2e-3, atol=2e-3,
+                               err_msg=f"d{name} mismatch")
