@@ -61,6 +61,7 @@ class GraphCast(Predictor):
     self._artifact: Optional[artifact_lib.GridMeshArtifact] = None
     self._mesh_summer = None
     self._g2m_plan = None
+    self._m2g_decoder = None
 
     latent = model_config.latent_size
     num_outputs = configs.num_output_channels(task_config)
@@ -146,8 +147,47 @@ class GraphCast(Predictor):
           "mesh": FusedEdgeStep(self._mesh_summer)}
       # (grid2mesh/mesh2grid aggregations happen once per step and are
       # handled by the chunked encode/decode paths instead.)
+    self._g2m_summer = None
+    self._g2m_fused = None
+    if (fused and self._mc.hidden_layers == 1
+        and self._grid2mesh_gnn.activation == "swish"):
+      # Aggregation-only fused edge step for the grid2mesh encoder (batch-1
+      # fast path): the encoder's edge latents are consumed solely by the
+      # one aggregation into mesh nodes, so the kernel computes the edge MLP
+      # + LayerNorm and accumulates straight into per-mesh-block f32
+      # aggregates — never writing [1.6M, latent] edge latents to HBM.
+      from graphcast_tpu.ops.pallas_edge import FusedEdgeStep
+      from graphcast_tpu.ops.pallas_mp import BlockedSegmentSum
+      try:
+        self._g2m_summer = BlockedSegmentSum(
+            self._artifact.grid2mesh.receivers, self._artifact.num_mesh_nodes,
+            block_nodes=256, chunk_edges=512, padded_input=True)
+        self._g2m_fused = FusedEdgeStep(
+            self._g2m_summer, include_edge_matmul=False, write_edges=False)
+        # Batch > 1 falls back to the general GNN path, whose aggregation
+        # runs through the same kernel layout.
+        self._grid2mesh_gnn.edge_aggregators = {"grid2mesh": self._g2m_summer}
+      except ValueError:
+        # e.g. a mesh-node block with no incoming grid2mesh edges (tiny
+        # grids) — keep the chunked/general paths.
+        self._g2m_summer = None
+        self._g2m_fused = None
+        self._grid2mesh_gnn.edge_aggregators = None
+    self._m2g_decoder = None
+    if (fused and self._mc.hidden_layers == 1
+        and self._mesh2grid_gnn.activation == "swish"):
+      # Fully-fused mesh2grid decoder (batch-1 inference fast path): edge
+      # MLP + LN + 3-edge aggregation + node MLP + residual + output MLP in
+      # one Pallas pass per grid-node block. Chunked path remains the
+      # fallback (batch > 1 / no hoisted const).
+      from graphcast_tpu.ops.pallas_decoder import FusedMesh2GridDecoder
+      self._m2g_decoder = FusedMesh2GridDecoder(
+          self._artifact.mesh2grid.senders, self._artifact.num_grid_nodes,
+          configs.num_output_channels(self._tc))
     self._g2m_plan = None
-    if self._encode_chunks > 1:
+    if self._encode_chunks > 1 and self._g2m_summer is None:
+      # The fused encoder's padded layout replaces the balanced-chunk
+      # layout (the two re-layouts are mutually exclusive in the statics).
       from graphcast_tpu.geometry import chunking
       self._g2m_plan = chunking.plan_balanced_node_chunks(
           self._artifact.grid2mesh.receivers, self._artifact.num_mesh_nodes,
@@ -168,7 +208,13 @@ class GraphCast(Predictor):
       statics["mesh_receivers"] = s.padded_receivers
       statics["mesh_edge_features"] = s.pad_edges(
           statics["mesh_edge_features"])
-    if self._g2m_plan is not None:
+    if self._g2m_summer is not None:
+      s = self._g2m_summer
+      statics["g2m_senders"] = s.pad_edges(statics["g2m_senders"])
+      statics["g2m_receivers"] = s.padded_receivers
+      statics["g2m_edge_features"] = s.pad_edges(
+          statics["g2m_edge_features"])
+    elif self._g2m_plan is not None:
       plan = self._g2m_plan
       statics["g2m_senders"] = plan.pad_edge_array(statics["g2m_senders"])
       statics["g2m_receivers"] = plan.pad_edge_array(
@@ -259,18 +305,34 @@ class GraphCast(Predictor):
     of persisting [E, 512] latents in HBM (~5 GB at 0.25°, fits alongside
     the 16 GB working set)."""
     self._maybe_init(inputs)
-    if self._encode_chunks <= 1 and self._decode_chunks <= 1:
+    batch = inputs.sizes.get("batch", 1)
+    fused_decode = self._m2g_decoder is not None and batch == 1
+    fused_encode = self._g2m_fused is not None and batch == 1
+    if (self._encode_chunks <= 1 and self._decode_chunks <= 1
+        and not fused_decode and not fused_encode):
       return {}
     statics = self._statics(params)
     dtype = inputs[inputs.var_names[0]].data.dtype
     if not jnp.issubdtype(dtype, jnp.floating):
       dtype = jnp.float32
     out = {}
-    if self._encode_chunks > 1:
+    if fused_encode:
+      out["g2m_const"] = self._static_edge_const(
+          params["grid2mesh_gnn"], self._grid2mesh_gnn,
+          statics["g2m_edge_features"], max(self._encode_chunks, 8), dtype)
+    elif self._encode_chunks > 1 and self._g2m_plan is not None:
       out["g2m_const"] = self._static_edge_const(
           params["grid2mesh_gnn"], self._grid2mesh_gnn,
           statics["g2m_edge_features"], self._g2m_plan.num_chunks, dtype)
-    if self._decode_chunks > 1:
+    if fused_decode:
+      k = self._choose_chunks(self._artifact.num_grid_nodes,
+                              max(self._decode_chunks, 8))
+      const = self._static_edge_const(
+          params["mesh2grid_gnn"], self._mesh2grid_gnn,
+          statics["m2g_edge_features"], k, dtype)
+      out["m2g_const_slot"] = self._m2g_decoder.rearrange_edge_array(
+          const[:, 0])
+    elif self._decode_chunks > 1:
       k = self._choose_chunks(self._artifact.num_grid_nodes,
                               self._decode_chunks)
       out["m2g_const"] = self._static_edge_const(
@@ -508,6 +570,100 @@ class GraphCast(Predictor):
     out = jax.lax.map(decode_chunk, (grid_chunks, lead, senders))
     return out.reshape(g_total, batch, -1)
 
+  # ----- fully-fused grid2mesh encode (Pallas, batch-1 fast path) -----
+
+  def _run_grid2mesh_fused(self, params, statics, grid_node_features, const):
+    """grid2mesh via the aggregation-only FusedEdgeStep: edge MLP + LN +
+    f32 aggregation in one Pallas pass over the padded edge layout, no
+    [1.6M, latent] edge intermediates in HBM. ``const`` is the hoisted
+    static first-layer part ([L, 1, latent], padded layout)."""
+    art = self._artifact
+    gnn = self._grid2mesh_gnn
+    p = params["grid2mesh_gnn"]
+    latent = self._mc.latent_size
+    batch = grid_node_features.shape[1]
+    dtype = grid_node_features.dtype
+
+    grid_struct = _add_batch_second_axis(
+        statics["grid_node_features"].astype(dtype), batch)
+    mesh_struct = _add_batch_second_axis(
+        statics["mesh_node_features"].astype(dtype), batch)
+    dummy = jnp.zeros((art.num_mesh_nodes,) + grid_node_features.shape[1:],
+                      dtype)
+    grid_in = jnp.concatenate([grid_node_features, grid_struct], axis=-1)
+    mesh_in = jnp.concatenate([dummy, mesh_struct], axis=-1)
+
+    abstract_statics = jax.tree_util.tree_map(
+        lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), statics)
+    specs = gnn._specs(jax.eval_shape(
+        self._grid2mesh_graph, abstract_statics,
+        jax.ShapeDtypeStruct(grid_node_features.shape, dtype)))
+    grid_emb = specs["encoder_nodes_grid_nodes"].apply(
+        p["encoder_nodes_grid_nodes"], grid_in)
+    mesh_emb = specs["encoder_nodes_mesh_nodes"].apply(
+        p["encoder_nodes_mesh_nodes"], mesh_in)
+
+    pe = p["processor_0_edges_grid2mesh"]
+    w0 = pe["mlp"]["linear_0"]["w"].astype(dtype)
+    ws, wr = w0[latent:2 * latent], w0[2 * latent:]
+    gs = (grid_emb[:, 0] @ ws)[statics["g2m_senders"]]
+    gr_pad = self._g2m_fused.pad_nodes(mesh_emb[:, 0] @ wr)
+    agg = self._g2m_fused(
+        const[:, 0].astype(dtype), gs, gr_pad, None, None,
+        pe["mlp"]["linear_1"]["w"], pe["mlp"]["linear_1"]["b"],
+        pe["layer_norm"]["scale"], pe["layer_norm"]["offset"])
+    if gnn.aggregate_normalization:
+      agg = agg / gnn.aggregate_normalization
+    agg = agg.astype(dtype)[:, None]
+
+    mesh_upd = specs["processor_0_nodes_mesh_nodes"].apply(
+        p["processor_0_nodes_mesh_nodes"], mesh_emb, agg)
+    grid_upd = specs["processor_0_nodes_grid_nodes"].apply(
+        p["processor_0_nodes_grid_nodes"], grid_emb)
+    return mesh_emb + mesh_upd, grid_emb + grid_upd
+
+  # ----- fully-fused mesh2grid decode (Pallas, batch-1 fast path) -----
+
+  def _run_mesh2grid_fused(self, params, latent_mesh_nodes,
+                           latent_grid_nodes, const_slot):
+    """The whole decoder in one Pallas pass per grid-node block
+    (ops.pallas_decoder.FusedMesh2GridDecoder); writes only the final
+    [num_grid, num_outputs] array instead of streaming [3.1M, latent]
+    intermediates through HBM. Exact same math as the chunked path modulo
+    f32-vs-bf16 aggregation of the three per-node messages."""
+    p = params["mesh2grid_gnn"]
+    latent = self._mc.latent_size
+    dtype = latent_mesh_nodes.dtype
+    dec = self._m2g_decoder
+    pe = p["processor_0_edges_mesh2grid"]
+    w0 = pe["mlp"]["linear_0"]["w"]
+    mesh_proj = latent_mesh_nodes[:, 0] @ w0[latent:2 * latent].astype(dtype)
+    pn = p["processor_0_nodes_grid_nodes"]
+    wn0 = pn["mlp"]["linear_0"]["w"]
+    pd = p["decoder_nodes_grid_nodes"]
+    wd1 = pd["mlp"]["linear_1"]["w"]
+    bd1 = pd["mlp"]["linear_1"]["b"]
+    weights = {
+        "wr": w0[2 * latent:],
+        "w1": pe["mlp"]["linear_1"]["w"],
+        "b1": pe["mlp"]["linear_1"]["b"],
+        "escale": pe["layer_norm"]["scale"],
+        "eoffset": pe["layer_norm"]["offset"],
+        "wng": wn0[:latent],
+        "wna": wn0[latent:],
+        "bn0": pn["mlp"]["linear_0"]["b"],
+        "wn1": pn["mlp"]["linear_1"]["w"],
+        "bn1": pn["mlp"]["linear_1"]["b"],
+        "nscale": pn["layer_norm"]["scale"],
+        "noffset": pn["layer_norm"]["offset"],
+        "wd0": pd["mlp"]["linear_0"]["w"],
+        "bd0": pd["mlp"]["linear_0"]["b"],
+        "wd1": jnp.pad(wd1, ((0, 0), (0, dec.out_pad - wd1.shape[1]))),
+        "bd1": jnp.pad(bd1, (0, dec.out_pad - bd1.shape[0])),
+    }
+    out = dec(latent_grid_nodes[:, 0], mesh_proj, const_slot, weights)
+    return out[:, None, :]
+
   # ----- feature packing -----
 
   def _inputs_to_grid_node_features(self, inputs: FieldSet,
@@ -579,7 +735,17 @@ class GraphCast(Predictor):
 
     # Encode (grid2mesh).
     with jax.named_scope("grid2mesh_gnn"):
-      if self._encode_chunks > 1:
+      if (self._g2m_fused is not None
+          and grid_node_features.shape[1] == 1):
+        const = sel.get("g2m_const")
+        if const is None:
+          const = self._static_edge_const(
+              params["grid2mesh_gnn"], self._grid2mesh_gnn,
+              statics["g2m_edge_features"], max(self._encode_chunks, 8),
+              grid_node_features.dtype)
+        latent_mesh_nodes, latent_grid_nodes = self._run_grid2mesh_fused(
+            params, statics, grid_node_features, const)
+      elif self._encode_chunks > 1 and self._g2m_plan is not None:
         latent_mesh_nodes, latent_grid_nodes = self._run_grid2mesh_chunked(
             params, statics, grid_node_features, const=sel.get("g2m_const"))
       else:
@@ -597,7 +763,20 @@ class GraphCast(Predictor):
 
     # Decode (mesh2grid).
     with jax.named_scope("mesh2grid_gnn"):
-      if self._decode_chunks > 1:
+      if (self._m2g_decoder is not None
+          and updated_latent_mesh_nodes.shape[1] == 1):
+        const_slot = sel.get("m2g_const_slot")
+        if const_slot is None:
+          k = self._choose_chunks(self._artifact.num_grid_nodes,
+                                  max(self._decode_chunks, 8))
+          const = self._static_edge_const(
+              params["mesh2grid_gnn"], self._mesh2grid_gnn,
+              statics["m2g_edge_features"], k,
+              updated_latent_mesh_nodes.dtype)
+          const_slot = self._m2g_decoder.rearrange_edge_array(const[:, 0])
+        output_grid_nodes = self._run_mesh2grid_fused(
+            params, updated_latent_mesh_nodes, latent_grid_nodes, const_slot)
+      elif self._decode_chunks > 1:
         output_grid_nodes = self._run_mesh2grid_chunked(
             params, statics, updated_latent_mesh_nodes, latent_grid_nodes,
             const=sel.get("m2g_const"))

@@ -1,0 +1,282 @@
+"""Pallas TPU kernel: the fully-fused mesh2grid decoder.
+
+The mesh2grid GNN (reference semantics: graphcast.py:700-738 +
+typed_graph_net.py:130-184) is the per-step stage with the largest edge set
+(3 edges per grid node = 3.1M edges at 0.25°) but a tiny useful output
+([num_grid, num_outputs]). Run as XLA chunks it moves several multi-GB
+[E, 512] intermediates through HBM per step (measured 139 ms standalone at
+0.25°, ~10× its roofline). This kernel runs the ENTIRE decoder — edge MLP +
+LayerNorm, 3-edge aggregation, node MLP + LayerNorm + residual, and the
+output MLP — in one pass over grid-node blocks, writing only the final
+[num_grid, num_outputs] array.
+
+Two static properties make it mask-free (unlike the mesh-processor kernel):
+  * every grid node has EXACTLY 3 incoming edges (triangle containment,
+    reference grid_mesh_connectivity.py:104), receiver-sorted — so with
+    edge arrays re-laid out slot-major ([3, num_grid, C]: slice j holds
+    edge-slot j of every node), aggregation is a plain 3-term add and the
+    per-block edge compute is three [block, C] matmul pipelines;
+  * the decoder's edge features are structural, so their embed + first
+    linear layer is a rollout constant (`const`, from
+    GraphCast.precompute_step_statics) handed to the kernel pre-laid-out.
+
+Pipeline per grid-node block i (C = latent, Co = padded output channels):
+    gproj = grid_i @ Wr                                    # receiver proj
+    for j in 0..2:
+      y_j = LN(swish(const[j,i] + gs[j,i] + gproj) @ W1 + b1)
+    agg  = y_0 + y_1 + y_2                                 # f32
+    nupd = LN(swish(grid_i @ Wng + agg @ Wna + b_n0) @ Wn1 + b_n1)
+    res  = grid_i + nupd                                   # node residual
+    out  = swish(res @ Wd0 + b_d0) @ Wd1 + b_d1            # output MLP
+
+The custom VJP recomputes the same math in plain XLA (exact, unfused), so
+the kernel is safe under grad; inference is the fast path.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LN_EPS = 1e-5
+
+
+def _ln(y, scale, offset):
+  mean = jnp.mean(y, axis=-1, keepdims=True)
+  var = jnp.mean(jnp.square(y - mean), axis=-1, keepdims=True)
+  yn = (y - mean) * jax.lax.rsqrt(var + LN_EPS)
+  return yn * scale + offset
+
+
+def _mm(a, b):
+  return jax.lax.dot_general(a, b, (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+
+
+def _decoder_kernel(const_ref, gs_ref, grid_ref,
+                    wr_ref, w1_ref, b1_ref, es_ref, eo_ref,
+                    wng_ref, wna_ref, bn0_ref, wn1_ref, bn1_ref,
+                    ns_ref, no_ref,
+                    wd0_ref, bd0_ref, wd1_ref, bd1_ref,
+                    out_ref):
+  g = grid_ref[:]                                    # [bn, C] act dtype
+  gproj = _mm(g, wr_ref[:])                          # f32
+
+  agg = jnp.zeros_like(gproj)
+  for j in range(3):
+    x0 = const_ref[j].astype(jnp.float32) + gs_ref[j].astype(jnp.float32)
+    x0 += gproj
+    h = (x0 * jax.nn.sigmoid(x0)).astype(g.dtype)    # swish
+    y = _mm(h, w1_ref[:]) + b1_ref[0][None].astype(jnp.float32)
+    agg += _ln(y, es_ref[0][None].astype(jnp.float32),
+               eo_ref[0][None].astype(jnp.float32))
+
+  x = _mm(g, wng_ref[:]) + _mm(agg.astype(g.dtype), wna_ref[:])
+  x += bn0_ref[0][None].astype(jnp.float32)
+  h = (x * jax.nn.sigmoid(x)).astype(g.dtype)
+  y = _mm(h, wn1_ref[:]) + bn1_ref[0][None].astype(jnp.float32)
+  upd = _ln(y, ns_ref[0][None].astype(jnp.float32),
+            no_ref[0][None].astype(jnp.float32))
+  res = (g.astype(jnp.float32) + upd).astype(g.dtype)
+
+  x = _mm(res, wd0_ref[:]) + bd0_ref[0][None].astype(jnp.float32)
+  h = (x * jax.nn.sigmoid(x)).astype(g.dtype)
+  out = _mm(h, wd1_ref[:]) + bd1_ref[0][None].astype(jnp.float32)
+  out_ref[:] = out.astype(out_ref.dtype)
+
+
+class FusedMesh2GridDecoder:
+  """Callable fused decoder for a fixed mesh2grid edge list.
+
+  Args:
+    senders: [3 * num_grid] mesh-node senders, receiver-sorted (3 edges per
+      grid node — the geometry compiler's mesh2grid invariant).
+    num_grid_nodes: number of grid nodes (receivers).
+    num_outputs: true output channel count (padded internally to 128 lanes).
+    block_nodes: grid nodes per kernel block.
+  """
+
+  def __init__(self, senders: np.ndarray, num_grid_nodes: int,
+               num_outputs: int, block_nodes: int = 256,
+               interpret: Optional[bool] = None):
+    senders = np.asarray(senders, np.int32)
+    if senders.shape[0] != 3 * num_grid_nodes:
+      raise ValueError("mesh2grid must have exactly 3 edges per grid node")
+    self.num_grid = num_grid_nodes
+    self.num_outputs = num_outputs
+    self.block_nodes = block_nodes
+    self._interpret = interpret
+    nb = -(-num_grid_nodes // block_nodes)
+    self.num_blocks = nb
+    self.padded_grid = nb * block_nodes
+    self.out_pad = max(128, -(-num_outputs // 128) * 128)
+    # Slot-major senders: senders_slot[j, v] = sender of edge-slot j of grid
+    # node v; padding nodes point at mesh node 0 (their outputs are sliced
+    # off).
+    slot = senders.reshape(num_grid_nodes, 3).T
+    self.senders_slot = np.concatenate(
+        [slot, np.zeros((3, self.padded_grid - num_grid_nodes), np.int32)],
+        axis=1)
+
+  def rearrange_edge_array(self, per_edge):
+    """[3*num_grid, ...] receiver-sorted edge array → [3, padded_grid, ...]
+    slot-major (jnp ops; run once per rollout for the hoisted const)."""
+    x = per_edge.reshape((self.num_grid, 3) + per_edge.shape[1:])
+    x = jnp.swapaxes(x, 0, 1)
+    pad = [(0, 0), (0, self.padded_grid - self.num_grid)] + [
+        (0, 0)] * (per_edge.ndim - 1)
+    return jnp.pad(x, pad)
+
+  def __call__(self, grid_lat, mesh_proj, const_slot, weights):
+    """Runs the fused decoder.
+
+    Args:
+      grid_lat: [num_grid, C] grid node latents (activation dtype).
+      mesh_proj: [num_mesh, C] mesh latents pre-multiplied by the edge MLP's
+        sender rows (Ws).
+      const_slot: [3, padded_grid, C] hoisted static edge part
+        (embed(edge_feats) @ We + b0), slot-major.
+      weights: dict with keys wr, w1, b1, escale, eoffset, wng, wna, bn0,
+        wn1, bn1, nscale, noffset, wd0, bd0, wd1, bd1 (f32 or act dtype;
+        wd1/bd1 padded to out_pad).
+
+    Returns:
+      [num_grid, num_outputs] decoded outputs (activation dtype).
+    """
+    return _fused_decode(grid_lat, mesh_proj, const_slot, weights,
+                         _DecoderHolder(self), self._interpret)
+
+  # --- implementations ---
+
+  def _forward(self, grid_lat, mesh_proj, const_slot, weights, interpret):
+    if interpret is None:
+      interpret = jax.default_backend() != "tpu"
+    bn = self.block_nodes
+    nb = self.num_blocks
+    G, C = grid_lat.shape
+    if G != self.num_grid:
+      raise ValueError(f"expected {self.num_grid} grid nodes, got {G}")
+    dtype = grid_lat.dtype
+    co = self.out_pad
+
+    gs = mesh_proj[jnp.asarray(self.senders_slot.reshape(-1))].reshape(
+        3, self.padded_grid, C).astype(dtype)
+    grid_pad = jnp.pad(grid_lat, ((0, self.padded_grid - G), (0, 0)))
+
+    def row(x):
+      return x.reshape(1, -1).astype(dtype)
+
+    w = {k: v for k, v in weights.items()}
+    out = pl.pallas_call(
+        _decoder_kernel,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((3, bn, C), lambda i: (0, i, 0)),   # const
+            pl.BlockSpec((3, bn, C), lambda i: (0, i, 0)),   # gs
+            pl.BlockSpec((bn, C), lambda i: (i, 0)),         # grid
+            pl.BlockSpec((C, C), lambda i: (0, 0)),          # wr
+            pl.BlockSpec((C, C), lambda i: (0, 0)),          # w1
+            pl.BlockSpec((1, C), lambda i: (0, 0)),          # b1
+            pl.BlockSpec((1, C), lambda i: (0, 0)),          # escale
+            pl.BlockSpec((1, C), lambda i: (0, 0)),          # eoffset
+            pl.BlockSpec((C, C), lambda i: (0, 0)),          # wng
+            pl.BlockSpec((C, C), lambda i: (0, 0)),          # wna
+            pl.BlockSpec((1, C), lambda i: (0, 0)),          # bn0
+            pl.BlockSpec((C, C), lambda i: (0, 0)),          # wn1
+            pl.BlockSpec((1, C), lambda i: (0, 0)),          # bn1
+            pl.BlockSpec((1, C), lambda i: (0, 0)),          # nscale
+            pl.BlockSpec((1, C), lambda i: (0, 0)),          # noffset
+            pl.BlockSpec((C, C), lambda i: (0, 0)),          # wd0
+            pl.BlockSpec((1, C), lambda i: (0, 0)),          # bd0
+            pl.BlockSpec((C, co), lambda i: (0, 0)),         # wd1
+            pl.BlockSpec((1, co), lambda i: (0, 0)),         # bd1
+        ],
+        out_specs=pl.BlockSpec((bn, co), lambda i: (i, 0)),
+        out_shape=jax.ShapeDtypeStruct((self.padded_grid, co), dtype),
+        interpret=interpret,
+    )(const_slot.astype(dtype), gs, grid_pad.astype(dtype),
+      w["wr"].astype(dtype), w["w1"].astype(dtype), row(w["b1"]),
+      row(w["escale"]), row(w["eoffset"]),
+      w["wng"].astype(dtype), w["wna"].astype(dtype), row(w["bn0"]),
+      w["wn1"].astype(dtype), row(w["bn1"]),
+      row(w["nscale"]), row(w["noffset"]),
+      w["wd0"].astype(dtype), row(w["bd0"]),
+      w["wd1"].astype(dtype), row(w["bd1"]))
+    return out[:G, :self.num_outputs]
+
+  def _reference_math(self, grid_lat, mesh_proj, const_slot, weights):
+    """Same pipeline in plain XLA (VJP recompute + test ground truth)."""
+    G, C = grid_lat.shape
+    dtype = grid_lat.dtype
+    # Round-trip weights through the activation dtype (the kernel receives
+    # them cast, per the cast-params-at-use policy), then do f32 math.
+    w = {k: jnp.asarray(v).astype(dtype).astype(jnp.float32)
+         for k, v in weights.items()}
+    gs = mesh_proj[jnp.asarray(self.senders_slot.reshape(-1))].reshape(
+        3, self.padded_grid, C)[:, :G].astype(jnp.float32)
+    const = const_slot[:, :G].astype(jnp.float32)
+    g32 = grid_lat.astype(jnp.float32)
+    gproj = g32 @ w["wr"]
+
+    agg = jnp.zeros_like(gproj)
+    for j in range(3):
+      x0 = const[j] + gs[j] + gproj
+      h = (x0 * jax.nn.sigmoid(x0)).astype(dtype)
+      y = h.astype(jnp.float32) @ w["w1"] + w["b1"][None]
+      agg += _ln(y, w["escale"][None], w["eoffset"][None])
+
+    x = g32 @ w["wng"] + agg.astype(dtype).astype(jnp.float32) @ w["wna"]
+    x += w["bn0"][None]
+    h = (x * jax.nn.sigmoid(x)).astype(dtype)
+    y = h.astype(jnp.float32) @ w["wn1"] + w["bn1"][None]
+    upd = _ln(y, w["nscale"][None], w["noffset"][None])
+    res = (g32 + upd).astype(dtype)
+
+    x = res.astype(jnp.float32) @ w["wd0"] + w["bd0"][None]
+    h = (x * jax.nn.sigmoid(x)).astype(dtype)
+    out = h.astype(jnp.float32) @ w["wd1"] + w["bd1"][None]
+    return out.astype(dtype)[:, :self.num_outputs]
+
+
+class _DecoderHolder:
+  """Hashable wrapper for custom_vjp static args."""
+
+  def __init__(self, dec: FusedMesh2GridDecoder):
+    self.dec = dec
+
+  def __hash__(self):
+    return id(self.dec)
+
+  def __eq__(self, other):
+    return isinstance(other, _DecoderHolder) and other.dec is self.dec
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _fused_decode(grid_lat, mesh_proj, const_slot, weights, holder,
+                  interpret):
+  return holder.dec._forward(grid_lat, mesh_proj, const_slot, weights,
+                             interpret)
+
+
+def _fd_fwd(grid_lat, mesh_proj, const_slot, weights, holder, interpret):
+  out = holder.dec._forward(grid_lat, mesh_proj, const_slot, weights,
+                            interpret)
+  return out, (grid_lat, mesh_proj, const_slot, weights)
+
+
+def _fd_bwd(holder, interpret, residuals, g):
+  del interpret
+  grid_lat, mesh_proj, const_slot, weights = residuals
+  _, vjp = jax.vjp(
+      lambda *args: holder.dec._reference_math(*args),
+      grid_lat, mesh_proj, const_slot, weights)
+  return vjp(g)
+
+
+_fused_decode.defvjp(_fd_fwd, _fd_bwd)

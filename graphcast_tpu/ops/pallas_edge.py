@@ -43,27 +43,46 @@ from graphcast_tpu.ops.splash import _unpack_mask
 LN_EPS = 1e-5
 
 
-def _fused_edge_kernel(block_of, first_of,
-                       e_ref, gs_ref, maskt_ref, mask_ref, gr_ref,
-                       we_ref, b0_ref, w1_ref, b1_ref, scale_ref, off_ref,
-                       eout_ref, agg_ref, *, cs, bn):
+def _fused_edge_kernel(block_of, first_of, *refs, cs, bn, has_we,
+                       write_eout):
   c = pl.program_id(0)
+  it = iter(refs)
+  e_ref = next(it)
+  gs_ref = next(it)
+  maskt_ref = next(it)
+  mask_ref = next(it)
+  gr_ref = next(it)
+  if has_we:
+    we_ref = next(it)
+    b0_ref = next(it)
+  w1_ref = next(it)
+  b1_ref = next(it)
+  scale_ref = next(it)
+  off_ref = next(it)
+  eout_ref = next(it) if write_eout else None
+  agg_ref = next(it)
 
   @pl.when(first_of[c] == 1)
   def _init():
     agg_ref[:] = jnp.zeros_like(agg_ref)
 
   e = e_ref[:]                                   # [cs, C]
-  x0 = jax.lax.dot_general(
-      e, we_ref[:], (((1,), (0,)), ((), ())),
-      preferred_element_type=jnp.float32)
+  if has_we:
+    x0 = jax.lax.dot_general(
+        e, we_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+  else:
+    # e rows are the hoisted static first-layer part (embed(feats) @ We +
+    # b0, precompute_step_statics) — no edge matmul, no extra bias.
+    x0 = e.astype(jnp.float32)
   x0 += gs_ref[:].astype(jnp.float32)
   # Receiver-projection broadcast: one-hot(recv)ᵀ @ Gr_block on the MXU.
   onehot_t = _unpack_mask(maskt_ref[0], cs, bn).astype(gr_ref.dtype)
   x0 += jax.lax.dot_general(
       onehot_t, gr_ref[:], (((1,), (0,)), ((), ())),
       preferred_element_type=jnp.float32)
-  x0 += b0_ref[0][None].astype(jnp.float32)
+  if has_we:
+    x0 += b0_ref[0][None].astype(jnp.float32)
 
   h = (x0 * jax.nn.sigmoid(x0)).astype(e.dtype)  # swish, f32 → act dtype
   y = jax.lax.dot_general(
@@ -77,7 +96,8 @@ def _fused_edge_kernel(block_of, first_of,
   yn = yn * scale_ref[0][None].astype(jnp.float32)
   yn = yn + off_ref[0][None].astype(jnp.float32)
 
-  eout_ref[:] = (e.astype(jnp.float32) + yn).astype(eout_ref.dtype)
+  if write_eout:
+    eout_ref[:] = (e.astype(jnp.float32) + yn).astype(eout_ref.dtype)
 
   onehot = _unpack_mask(mask_ref[0], bn, cs).astype(e.dtype)
   agg_ref[:] += jax.lax.dot_general(
@@ -94,11 +114,20 @@ class FusedEdgeStep:
   """
 
   def __init__(self, summer: BlockedSegmentSum,
-               interpret: Optional[bool] = None):
+               interpret: Optional[bool] = None,
+               include_edge_matmul: bool = True,
+               write_edges: bool = True):
+    """include_edge_matmul=False: the edge input rows are the hoisted static
+    first-layer part (embed(edge_feats) @ We + b0) — skip the We matmul and
+    bias. write_edges=False: no updated-edge-latent output (the grid2mesh
+    encoder never reuses its edge latents; only the aggregation matters).
+    Both default True = the mesh-processor step."""
     if not summer.padded_input:
       raise ValueError("FusedEdgeStep needs a padded-input BlockedSegmentSum")
     self._summer = summer
     self._interpret = interpret
+    self.include_edge_matmul = include_edge_matmul
+    self.write_edges = write_edges
     bn = summer.block_nodes
     cs = summer.chunk_edges
     if cs % 32 or bn % 32:
@@ -148,16 +177,23 @@ class FusedEdgeStep:
     """One fused edge step.
 
     Args:
-      e_pad: [L, C] edge latents in padded layout (activation dtype).
+      e_pad: [L, C] edge latents in padded layout (activation dtype). With
+        ``include_edge_matmul=False`` these rows are the hoisted static
+        first-layer part instead (embed(feats) @ We + b0).
       gs: [L, C] sender projections gathered to edges.
       gr_pad: [nb*bn, C] receiver projections, block-padded nodes.
-      we: [C, C] edge part of the first linear layer; b0: [C].
+      we: [C, C] edge part of the first linear layer; b0: [C]. Pass None
+        with ``include_edge_matmul=False``.
       w1: [C, C] second linear layer; b1: [C].
       scale/offset: [C] LayerNorm affine params.
 
     Returns:
-      (e_out [L, C] = e + y, agg [num_nodes, C] f32 sums of y).
+      (e_out [L, C] = e + y, agg [num_nodes, C] f32 sums of y), or just
+      agg with ``write_edges=False``.
     """
+    if not self.include_edge_matmul:
+      we = jnp.zeros((0,)) if we is None else we
+      b0 = jnp.zeros((0,)) if b0 is None else b0
     return _fused_edge_step(e_pad, gs, gr_pad, we, b0, w1, b1, scale, offset,
                             _StepHolder(self), self._interpret)
 
@@ -178,43 +214,57 @@ class FusedEdgeStep:
     def row(x):  # [C] params → [1, C] blocks
       return x.reshape(1, C)
 
-    kernel = functools.partial(_fused_edge_kernel, cs=cs, bn=bn)
-    eout, agg = pl.pallas_call(
+    kernel = functools.partial(
+        _fused_edge_kernel, cs=cs, bn=bn,
+        has_we=self.include_edge_matmul, write_eout=self.write_edges)
+    in_specs = [
+        pl.BlockSpec((cs, C), lambda c, bo, fo: (c, 0)),       # e
+        pl.BlockSpec((cs, C), lambda c, bo, fo: (c, 0)),       # gs
+        pl.BlockSpec((1, cs, bn // 32),
+                     lambda c, bo, fo: (c, 0, 0)),             # maskt
+        pl.BlockSpec((1, bn, cs // 32),
+                     lambda c, bo, fo: (c, 0, 0)),             # mask
+        pl.BlockSpec((bn, C), lambda c, bo, fo: (bo[c], 0)),   # gr
+    ]
+    args = [e_pad, gs.astype(dtype), jnp.asarray(self.mask_t),
+            jnp.asarray(self.mask), gr_pad.astype(dtype)]
+    if self.include_edge_matmul:
+      in_specs += [
+          pl.BlockSpec((C, C), lambda c, bo, fo: (0, 0)),      # we
+          pl.BlockSpec((1, C), lambda c, bo, fo: (0, 0)),      # b0
+      ]
+      args += [we.astype(dtype), row(b0)]
+    in_specs += [
+        pl.BlockSpec((C, C), lambda c, bo, fo: (0, 0)),        # w1
+        pl.BlockSpec((1, C), lambda c, bo, fo: (0, 0)),        # b1
+        pl.BlockSpec((1, C), lambda c, bo, fo: (0, 0)),        # scale
+        pl.BlockSpec((1, C), lambda c, bo, fo: (0, 0)),        # off
+    ]
+    args += [w1.astype(dtype), row(b1), row(scale), row(offset)]
+    out_specs = []
+    out_shape = []
+    if self.write_edges:
+      out_specs.append(pl.BlockSpec((cs, C), lambda c, bo, fo: (c, 0)))
+      out_shape.append(jax.ShapeDtypeStruct((L, C), dtype))
+    out_specs.append(pl.BlockSpec((bn, C), lambda c, bo, fo: (bo[c], 0)))
+    out_shape.append(jax.ShapeDtypeStruct((nb * bn, C), jnp.float32))
+
+    outs = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
             grid=(tc,),
-            in_specs=[
-                pl.BlockSpec((cs, C), lambda c, bo, fo: (c, 0)),       # e
-                pl.BlockSpec((cs, C), lambda c, bo, fo: (c, 0)),       # gs
-                pl.BlockSpec((1, cs, bn // 32),
-                             lambda c, bo, fo: (c, 0, 0)),             # maskt
-                pl.BlockSpec((1, bn, cs // 32),
-                             lambda c, bo, fo: (c, 0, 0)),             # mask
-                pl.BlockSpec((bn, C), lambda c, bo, fo: (bo[c], 0)),   # gr
-                pl.BlockSpec((C, C), lambda c, bo, fo: (0, 0)),        # we
-                pl.BlockSpec((1, C), lambda c, bo, fo: (0, 0)),        # b0
-                pl.BlockSpec((C, C), lambda c, bo, fo: (0, 0)),        # w1
-                pl.BlockSpec((1, C), lambda c, bo, fo: (0, 0)),        # b1
-                pl.BlockSpec((1, C), lambda c, bo, fo: (0, 0)),        # scale
-                pl.BlockSpec((1, C), lambda c, bo, fo: (0, 0)),        # off
-            ],
-            out_specs=[
-                pl.BlockSpec((cs, C), lambda c, bo, fo: (c, 0)),
-                pl.BlockSpec((bn, C), lambda c, bo, fo: (bo[c], 0)),
-            ],
+            in_specs=in_specs,
+            out_specs=out_specs,
         ),
-        out_shape=(
-            jax.ShapeDtypeStruct((L, C), dtype),
-            jax.ShapeDtypeStruct((nb * bn, C), jnp.float32),
-        ),
+        out_shape=tuple(out_shape),
         interpret=interpret,
-    )(jnp.asarray(self.block_of), jnp.asarray(self.first_of),
-      e_pad, gs.astype(dtype), jnp.asarray(self.mask_t),
-      jnp.asarray(self.mask), gr_pad.astype(dtype),
-      we.astype(dtype), row(b0), w1.astype(dtype), row(b1),
-      row(scale), row(offset))
-    return eout, agg[:s.num_nodes]
+    )(jnp.asarray(self.block_of), jnp.asarray(self.first_of), *args)
+    if self.write_edges:
+      eout, agg = outs
+      return eout, agg[:s.num_nodes]
+    (agg,) = outs
+    return agg[:s.num_nodes]
 
   def _reference_math(self, e_pad, gs, gr_pad, we, b0, w1, b1, scale,
                       offset):
@@ -225,9 +275,13 @@ class FusedEdgeStep:
     zero = jnp.zeros((1, gr_pad.shape[-1]), gr_pad.dtype)
     gr_rows = jnp.concatenate([gr_pad, zero], axis=0)[
         jnp.minimum(glob, gr_pad.shape[0])]
-    x0 = (e_pad.astype(jnp.float32) @ we.astype(jnp.float32)
-          + gs.astype(jnp.float32) + gr_rows.astype(jnp.float32)
-          + b0.astype(jnp.float32)[None])
+    if self.include_edge_matmul:
+      x0 = (e_pad.astype(jnp.float32) @ we.astype(jnp.float32)
+            + gs.astype(jnp.float32) + gr_rows.astype(jnp.float32)
+            + b0.astype(jnp.float32)[None])
+    else:
+      x0 = (e_pad.astype(jnp.float32) + gs.astype(jnp.float32)
+            + gr_rows.astype(jnp.float32))
     h = (x0 * jax.nn.sigmoid(x0)).astype(e_pad.dtype)
     y = h.astype(jnp.float32) @ w1.astype(jnp.float32)
     y = y + b1.astype(jnp.float32)[None]
@@ -236,10 +290,12 @@ class FusedEdgeStep:
     yn = (y - mean) * jax.lax.rsqrt(var + LN_EPS)
     yn = yn * scale.astype(jnp.float32)[None]
     yn = yn + offset.astype(jnp.float32)[None]
-    eout = (e_pad.astype(jnp.float32) + yn).astype(e_pad.dtype)
     agg = jax.ops.segment_sum(
         yn.astype(e_pad.dtype).astype(jnp.float32), glob,
         num_segments=s.num_node_blocks * s.block_nodes + 1)
+    if not self.write_edges:
+      return agg[:s.num_nodes]
+    eout = (e_pad.astype(jnp.float32) + yn).astype(e_pad.dtype)
     return eout, agg[:s.num_nodes]
 
 

@@ -1,0 +1,134 @@
+"""FusedMesh2GridDecoder: kernel vs reference math, grads, model parity."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from graphcast_tpu.ops.pallas_decoder import FusedMesh2GridDecoder
+
+
+def _random_setup(G=20, M=30, C=128, num_outputs=5, bn=8, dtype=jnp.float32,
+                  seed=0):
+  rs = np.random.RandomState(seed)
+  senders = rs.randint(0, M, size=3 * G).astype(np.int32)
+  dec = FusedMesh2GridDecoder(senders, G, num_outputs, block_nodes=bn,
+                              interpret=True)
+  grid = jnp.asarray(rs.randn(G, C), dtype)
+  mesh_proj = jnp.asarray(rs.randn(M, C), dtype)
+  const = jnp.asarray(rs.randn(3 * G, C), dtype)
+  const_slot = dec.rearrange_edge_array(const)
+  sq = {k: jnp.asarray(rs.randn(C, C) / np.sqrt(C), jnp.float32)
+        for k in ["wr", "w1", "wng", "wna", "wn1", "wd0"]}
+  weights = {
+      **sq,
+      "b1": jnp.asarray(rs.randn(C) * 0.1, jnp.float32),
+      "escale": jnp.asarray(1 + 0.1 * rs.randn(C), jnp.float32),
+      "eoffset": jnp.asarray(0.1 * rs.randn(C), jnp.float32),
+      "bn0": jnp.asarray(rs.randn(C) * 0.1, jnp.float32),
+      "bn1": jnp.asarray(rs.randn(C) * 0.1, jnp.float32),
+      "nscale": jnp.asarray(1 + 0.1 * rs.randn(C), jnp.float32),
+      "noffset": jnp.asarray(0.1 * rs.randn(C), jnp.float32),
+      "bd0": jnp.asarray(rs.randn(C) * 0.1, jnp.float32),
+      "wd1": jnp.asarray(rs.randn(C, dec.out_pad) / np.sqrt(C), jnp.float32),
+      "bd1": jnp.asarray(rs.randn(dec.out_pad) * 0.1, jnp.float32),
+  }
+  return dec, grid, mesh_proj, const_slot, weights
+
+
+def test_kernel_matches_reference_math_f32():
+  dec, grid, mesh_proj, const_slot, weights = _random_setup()
+  out = dec(grid, mesh_proj, const_slot, weights)
+  ref = dec._reference_math(grid, mesh_proj, const_slot, weights)
+  assert out.shape == (20, 5)
+  np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                             rtol=2e-5, atol=2e-5)
+
+
+def test_kernel_matches_reference_math_bf16():
+  dec, grid, mesh_proj, const_slot, weights = _random_setup(
+      dtype=jnp.bfloat16, seed=1)
+  out = dec(grid, mesh_proj, const_slot, weights)
+  ref = dec._reference_math(grid, mesh_proj, const_slot, weights)
+  assert out.dtype == jnp.bfloat16
+  np.testing.assert_allclose(
+      np.asarray(out, np.float32), np.asarray(ref, np.float32),
+      rtol=0.05, atol=0.05)
+
+
+def test_rearrange_edge_array_slot_major():
+  G, bn = 5, 8
+  senders = np.arange(3 * G, dtype=np.int32) % 4
+  dec = FusedMesh2GridDecoder(senders, G, 2, block_nodes=bn, interpret=True)
+  per_edge = jnp.arange(3 * G, dtype=jnp.float32)[:, None] * jnp.ones((1, 4))
+  slot = dec.rearrange_edge_array(per_edge)
+  assert slot.shape == (3, dec.padded_grid, 4)
+  # Edge-slot j of node v was row 3v + j in receiver-sorted order.
+  for v in range(G):
+    for j in range(3):
+      assert float(slot[j, v, 0]) == 3 * v + j
+  assert float(jnp.abs(slot[:, G:]).max()) == 0.0  # zero padding
+
+
+def test_gradients_flow_and_match_reference():
+  dec, grid, mesh_proj, const_slot, weights = _random_setup(seed=2)
+
+  def loss_kernel(g, mp, w):
+    return jnp.sum(dec(g, mp, const_slot, w) ** 2)
+
+  def loss_ref(g, mp, w):
+    return jnp.sum(dec._reference_math(g, mp, const_slot, w) ** 2)
+
+  gk = jax.grad(loss_kernel, argnums=(0, 1, 2))(grid, mesh_proj, weights)
+  gr = jax.grad(loss_ref, argnums=(0, 1, 2))(grid, mesh_proj, weights)
+  for a, b in zip(jax.tree_util.tree_leaves(gk),
+                  jax.tree_util.tree_leaves(gr)):
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_model_fused_decoder_engaged_and_matches():
+  """GraphCast with fused_aggregation=True at batch 1 must route decode
+  through FusedMesh2GridDecoder and match the plain model."""
+  from graphcast_tpu.data import synthetic
+  from graphcast_tpu.models import configs
+  from graphcast_tpu.models.graphcast import GraphCast
+  from graphcast_tpu import train
+
+  task = configs.TaskConfig(
+      input_variables=(
+          "2m_temperature", "temperature", "toa_incident_solar_radiation",
+          "land_sea_mask"),
+      target_variables=("2m_temperature", "temperature"),
+      forcing_variables=("toa_incident_solar_radiation",),
+      pressure_levels=(500, 850),
+      input_duration="12h")
+  model = configs.ModelConfig(
+      resolution=30.0, mesh_size=1, latent_size=16, gnn_msg_steps=2,
+      hidden_layers=1, radius_query_fraction_edge_length=0.6)
+  inputs, targets, forcings = synthetic.make_example_batch(
+      task, resolution=30.0, batch=1)
+  rng = jax.random.PRNGKey(0)
+  m_plain = GraphCast(model, task, cache_dir="", fused_aggregation=False)
+  m_fused = GraphCast(model, task, cache_dir="", fused_aggregation=True)
+  params = m_plain.init(rng, inputs, targets, forcings)
+  learned, _ = train.partition_params(params)
+  params_fused = m_fused.attach_graph_statics(dict(learned), inputs)
+  assert m_fused._m2g_decoder is not None
+
+  out_plain = m_plain(params, rng, inputs, targets, forcings)
+  out_fused = m_fused(params_fused, rng, inputs, targets, forcings)
+  for n in targets.var_names:
+    np.testing.assert_allclose(
+        np.asarray(out_fused.data(n)), np.asarray(out_plain.data(n)),
+        rtol=5e-4, atol=5e-4)
+
+  # With the hoisted const (precompute_step_statics) the result is the same.
+  sel = m_fused.precompute_step_statics(params_fused, inputs)
+  assert "m2g_const_slot" in sel["static_edge_latents"]
+  out_hoisted = m_fused(params_fused, rng, inputs, targets, forcings,
+                        **sel)
+  for n in targets.var_names:
+    np.testing.assert_allclose(
+        np.asarray(out_hoisted.data(n)), np.asarray(out_fused.data(n)),
+        rtol=1e-5, atol=1e-5)

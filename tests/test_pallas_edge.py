@@ -122,6 +122,80 @@ def test_fused_edge_step_gradients():
                              rtol=2e-4, atol=2e-4)
 
 
+def test_agg_only_variant_matches_unfused():
+  """include_edge_matmul=False + write_edges=False (the grid2mesh encoder
+  variant): edge rows already hold embed(feats) @ We + b0."""
+  summer, _, senders, receivers, e_pad, x, p = make_setup(seed=4)
+  step = pallas_edge.FusedEdgeStep(
+      summer, interpret=True, include_edge_matmul=False, write_edges=False)
+
+  # Original-order edge latents recovered from the padded layout.
+  valid = summer.layout_index < summer.num_edges
+  e_orig = jnp.zeros((summer.num_edges, e_pad.shape[-1]), e_pad.dtype)
+  e_orig = e_orig.at[summer.layout_index[valid]].set(
+      jnp.asarray(np.asarray(e_pad)[valid]))
+  # Fold We/b0 into the edge rows (what the hoisted const contains).
+  const_orig = e_orig @ p["we"] + p["b0"][None]
+  const_pad = jnp.asarray(summer.pad_edges(np.asarray(const_orig)))
+
+  gs = (x @ p["ws"])[jnp.asarray(summer.pad_edges(senders))]
+  gr_pad = step.pad_nodes(x @ p["wr"])
+  agg = step(const_pad, gs, gr_pad, None, None, p["w1"], p["b1"],
+             p["scale"], p["offset"])
+
+  _, want_agg = unfused_reference(summer, senders, receivers, e_orig, x, p)
+  np.testing.assert_allclose(np.asarray(agg), np.asarray(want_agg),
+                             rtol=2e-4, atol=2e-4)
+
+  # Gradients flow (custom VJP recompute).
+  def loss(c, x):
+    gs = (x @ p["ws"])[jnp.asarray(summer.pad_edges(senders))]
+    gr = step.pad_nodes(x @ p["wr"])
+    return jnp.sum(step(c, gs, gr, None, None, p["w1"], p["b1"],
+                        p["scale"], p["offset"]) ** 2)
+  g = jax.grad(loss, argnums=(0, 1))(const_pad, x)
+  assert all(np.isfinite(np.asarray(t)).all() for t in g)
+  assert float(jnp.abs(g[1]).max()) > 0
+
+
+def test_model_fused_encoder_matches_plain_batch1_and_batch2():
+  """GraphCast with the fused grid2mesh encoder (batch 1) and the padded
+  general path (batch 2) must match the plain model."""
+  from graphcast_tpu.data import synthetic
+  from graphcast_tpu.models import configs
+  from graphcast_tpu.models.graphcast import GraphCast
+  from graphcast_tpu import train
+
+  task = configs.TaskConfig(
+      input_variables=(
+          "2m_temperature", "temperature", "toa_incident_solar_radiation",
+          "land_sea_mask"),
+      target_variables=("2m_temperature", "temperature"),
+      forcing_variables=("toa_incident_solar_radiation",),
+      pressure_levels=(500, 850),
+      input_duration="12h")
+  model = configs.ModelConfig(
+      resolution=20.0, mesh_size=2, latent_size=16, gnn_msg_steps=2,
+      hidden_layers=1, radius_query_fraction_edge_length=0.6)
+  rng = jax.random.PRNGKey(0)
+  for batch in (1, 2):
+    inputs, targets, forcings = synthetic.make_example_batch(
+        task, resolution=20.0, batch=batch)
+    m_plain = GraphCast(model, task, cache_dir="", fused_aggregation=False)
+    m_fused = GraphCast(model, task, cache_dir="", fused_aggregation=True)
+    params = m_plain.init(rng, inputs, targets, forcings)
+    learned, _ = train.partition_params(params)
+    params_fused = m_fused.attach_graph_statics(dict(learned), inputs)
+    if m_fused._g2m_fused is None:
+      pytest.skip("tiny grid left an empty mesh-node block")
+    out_plain = m_plain(params, rng, inputs, targets, forcings)
+    out_fused = m_fused(params_fused, rng, inputs, targets, forcings)
+    for n in targets.var_names:
+      np.testing.assert_allclose(
+          np.asarray(out_fused.data(n)), np.asarray(out_plain.data(n)),
+          rtol=5e-4, atol=5e-4, err_msg=f"batch={batch} var={n}")
+
+
 def test_empty_block_rejected():
   receivers = np.sort(np.concatenate(
       [np.zeros(50, np.int32), np.full(50, 99, np.int32)]))

@@ -1,0 +1,86 @@
+"""Micro-benchmark: mesh2grid fused-decoder kernel vs its sender gather.
+
+Separates the [3.1M-row] mesh_proj gather from the Pallas kernel proper to
+find which dominates the decode stage. Rig rules: readback-forced timing,
+varied inputs, everything as jit args.
+"""
+
+import os
+import time
+
+import numpy as np
+
+
+def main():
+  import jax
+  import jax.numpy as jnp
+  cache = os.path.join(os.path.expanduser("~"), ".cache", "graphcast_tpu",
+                       "xla_cache")
+  jax.config.update("jax_compilation_cache_dir", cache)
+  jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+
+  from graphcast_tpu.geometry import artifact as artifact_lib
+  from graphcast_tpu.ops.pallas_decoder import FusedMesh2GridDecoder
+
+  lat = np.arange(-90.0, 90.25, 0.25)
+  lon = np.arange(0.0, 360.0, 0.25)
+  art = artifact_lib.build_artifact(
+      grid_lat=lat, grid_lon=lon, mesh_size=6,
+      radius_query_fraction_edge_length=0.6, multimesh=True, cache_dir=None)
+  G, M, C = art.num_grid_nodes, art.num_mesh_nodes, 512
+  dec = FusedMesh2GridDecoder(art.mesh2grid.senders, G, 227)
+  print(f"# G={G} M={M} blocks={dec.num_blocks} out_pad={dec.out_pad}")
+
+  rs = np.random.RandomState(0)
+  mesh_proj = jax.device_put(rs.randn(M, C).astype(np.float32)).astype(
+      jnp.bfloat16)
+  grid = jax.device_put(
+      rs.randn(dec.padded_grid, C).astype(np.float32)).astype(jnp.bfloat16)
+  const = jax.device_put(
+      rs.randn(3, dec.padded_grid, C).astype(np.float32)).astype(jnp.bfloat16)
+  sq = {k: jax.device_put((rs.randn(C, C) / np.sqrt(C)).astype(np.float32))
+        for k in ["wr", "w1", "wng", "wna", "wn1", "wd0"]}
+  weights = {
+      **sq,
+      "b1": jnp.zeros(C), "escale": jnp.ones(C), "eoffset": jnp.zeros(C),
+      "bn0": jnp.zeros(C), "bn1": jnp.zeros(C),
+      "nscale": jnp.ones(C), "noffset": jnp.zeros(C),
+      "bd0": jnp.zeros(C),
+      "wd1": jax.device_put(
+          (rs.randn(C, dec.out_pad) / np.sqrt(C)).astype(np.float32)),
+      "bd1": jnp.zeros(dec.out_pad),
+  }
+  weights = jax.device_put(weights)
+  senders_flat = jax.device_put(dec.senders_slot.reshape(-1))
+
+  @jax.jit
+  def gather_only(mp, i):
+    mp = mp + jnp.bfloat16(1e-6) * jnp.bfloat16(i)
+    gs = mp[senders_flat]
+    return jnp.mean(gs.astype(jnp.float32))
+
+  @jax.jit
+  def full_call(g, mp, c, w, i):
+    g = g + jnp.bfloat16(1e-6) * jnp.bfloat16(i)
+    out = dec(g[:dec.num_grid], mp, c, w)
+    return jnp.mean(out.astype(jnp.float32))
+
+  def timeit(name, fn, *args):
+    t0 = time.perf_counter()
+    v = float(fn(*args, 0))
+    compile_s = time.perf_counter() - t0
+    assert np.isfinite(v), name
+    times = []
+    for i in range(1, 5):
+      t0 = time.perf_counter()
+      float(fn(*args, i))
+      times.append(time.perf_counter() - t0)
+    print(f"{name}: {min(times)*1e3:.1f} ms (compile {compile_s:.1f}s, "
+          f"all {[round(t*1e3,1) for t in times]})")
+
+  timeit("gather_only", gather_only, mesh_proj)
+  timeit("full_call", full_call, grid, mesh_proj, const, weights)
+
+
+if __name__ == "__main__":
+  main()
