@@ -84,7 +84,11 @@ def _fused_edge_kernel(block_of, first_of, *refs, cs, bn, has_we,
   if has_we:
     x0 += b0_ref[0][None].astype(jnp.float32)
 
-  h = (x0 * jax.nn.sigmoid(x0)).astype(e.dtype)  # swish, f32 → act dtype
+  # Swish in the activation dtype (the XLA path applies activations to the
+  # bf16 matmul output too; bf16 halves the VPU cost of the sigmoid, which
+  # profiling shows dominates this kernel).
+  xa = x0.astype(e.dtype)
+  h = xa * jax.nn.sigmoid(xa)
   y = jax.lax.dot_general(
       h, w1_ref[:], (((1,), (0,)), ((), ())),
       preferred_element_type=jnp.float32)
@@ -282,7 +286,8 @@ class FusedEdgeStep:
     else:
       x0 = (e_pad.astype(jnp.float32) + gs.astype(jnp.float32)
             + gr_rows.astype(jnp.float32))
-    h = (x0 * jax.nn.sigmoid(x0)).astype(e_pad.dtype)
+    xa = x0.astype(e_pad.dtype)
+    h = xa * jax.nn.sigmoid(xa)
     y = h.astype(jnp.float32) @ w1.astype(jnp.float32)
     y = y + b1.astype(jnp.float32)[None]
     mean = jnp.mean(y, axis=-1, keepdims=True)

@@ -56,6 +56,41 @@ def test_kernel_matches_reference_math_bf16():
       rtol=0.05, atol=0.05)
 
 
+def test_compact_gather_matches_direct():
+  """compact_gather=True (per-block unique-sender tables + in-kernel one-hot
+  expansion) must produce the same result as the direct-gather kernel."""
+  rs = np.random.RandomState(3)
+  G, M, C, bn = 24, 12, 128, 8
+  # Senders with heavy reuse inside blocks (like real triangle containment).
+  senders = np.repeat(rs.randint(0, M, size=G), 3).astype(np.int32)
+  grid = jnp.asarray(rs.randn(G, C), jnp.float32)
+  mesh_proj = jnp.asarray(rs.randn(M, C), jnp.float32)
+  const = jnp.asarray(rs.randn(3 * G, C), jnp.float32)
+
+  outs = []
+  for compact in (False, True):
+    dec = FusedMesh2GridDecoder(senders, G, 7, block_nodes=bn,
+                                interpret=True, compact_gather=compact)
+    assert dec.compact == compact
+    const_slot = dec.rearrange_edge_array(const)
+    sq = {k: jnp.asarray(rs2.randn(C, C) / np.sqrt(C), jnp.float32)
+          for rs2 in [np.random.RandomState(9)]
+          for k in ["wr", "w1", "wng", "wna", "wn1", "wd0"]}
+    weights = {
+        **sq,
+        "b1": jnp.zeros(C), "escale": jnp.ones(C), "eoffset": jnp.zeros(C),
+        "bn0": jnp.zeros(C), "bn1": jnp.zeros(C),
+        "nscale": jnp.ones(C), "noffset": jnp.zeros(C),
+        "bd0": jnp.zeros(C),
+        "wd1": jnp.asarray(
+            np.random.RandomState(9).randn(C, dec.out_pad) / np.sqrt(C),
+            jnp.float32),
+        "bd1": jnp.zeros(dec.out_pad),
+    }
+    outs.append(np.asarray(dec(grid, mesh_proj, const_slot, weights)))
+  np.testing.assert_allclose(outs[0], outs[1], rtol=2e-5, atol=2e-5)
+
+
 def test_rearrange_edge_array_slot_major():
   G, bn = 5, 8
   senders = np.arange(3 * G, dtype=np.int32) % 4

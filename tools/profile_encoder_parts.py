@@ -1,0 +1,100 @@
+"""Micro-benchmark: grid2mesh fused-encoder pieces at 0.25°/mesh-6.
+
+Separates (a) the [1.67M-row] grid_proj gather, (b) the agg-only Pallas
+kernel, (c) the grid-side node MLPs, to find what dominates the 100 ms
+encode stage. Rig rules: readback-forced timing, varied inputs, jit args.
+"""
+
+import os
+import time
+
+import numpy as np
+
+
+def main():
+  import jax
+  import jax.numpy as jnp
+  cache = os.path.join(os.path.expanduser("~"), ".cache", "graphcast_tpu",
+                       "xla_cache")
+  jax.config.update("jax_compilation_cache_dir", cache)
+  jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+
+  from graphcast_tpu.geometry import artifact as artifact_lib
+  from graphcast_tpu.ops.pallas_edge import FusedEdgeStep
+  from graphcast_tpu.ops.pallas_mp import BlockedSegmentSum
+
+  lat = np.arange(-90.0, 90.25, 0.25)
+  lon = np.arange(0.0, 360.0, 0.25)
+  art = artifact_lib.build_artifact(
+      grid_lat=lat, grid_lon=lon, mesh_size=6,
+      radius_query_fraction_edge_length=0.6, multimesh=True, cache_dir=None)
+  G, M, C = art.num_grid_nodes, art.num_mesh_nodes, 512
+  summer = BlockedSegmentSum(art.grid2mesh.receivers, M, block_nodes=256,
+                             chunk_edges=512, padded_input=True)
+  step = FusedEdgeStep(summer, include_edge_matmul=False, write_edges=False)
+  L = summer.layout_length
+  print(f"# G={G} M={M} L={L} chunks={summer.total_chunks} "
+        f"expansion={summer.expansion:.3f}")
+
+  rs = np.random.RandomState(0)
+  bf = jnp.bfloat16
+  grid_proj = jax.device_put(rs.randn(G, C).astype(np.float32)).astype(bf)
+  const = jax.device_put(rs.randn(L, C).astype(np.float32)).astype(bf)
+  gs0 = jax.device_put(rs.randn(L, C).astype(np.float32)).astype(bf)
+  gr_pad = jax.device_put(
+      rs.randn(summer.num_node_blocks * summer.block_nodes, C)
+      .astype(np.float32)).astype(bf)
+  w1 = jax.device_put((rs.randn(C, C) / np.sqrt(C)).astype(np.float32))
+  b1 = jnp.zeros(C)
+  scale = jnp.ones(C)
+  offset = jnp.zeros(C)
+  senders_pad = jax.device_put(
+      summer.pad_edges(art.grid2mesh.senders))
+  grid_in = jax.device_put(rs.randn(G, 1, 186).astype(np.float32)).astype(bf)
+  emb_w0 = jax.device_put((rs.randn(186, C) / 14).astype(np.float32))
+  emb_w1 = jax.device_put((rs.randn(C, C) / 23).astype(np.float32))
+  upd_w0 = jax.device_put((rs.randn(C, C) / 23).astype(np.float32))
+  upd_w1 = jax.device_put((rs.randn(C, C) / 23).astype(np.float32))
+
+  def seeded(i, x):
+    return x + bf(1e-6) * bf(i)
+
+  @jax.jit
+  def gather_only(gp, i):
+    gs = seeded(i, gp)[senders_pad]
+    return jnp.mean(gs.astype(jnp.float32))
+
+  @jax.jit
+  def kernel_only(c, gs, gr, w1, i):
+    agg = step(seeded(i, c), gs, gr, None, None, w1, b1, scale, offset)
+    return jnp.mean(agg)
+
+  @jax.jit
+  def gridside(x, i):
+    x = seeded(i, x)
+    e = x @ emb_w0.astype(bf)
+    e = jax.nn.swish(e.astype(jnp.float32)).astype(bf) @ emb_w1.astype(bf)
+    u = e @ upd_w0.astype(bf)
+    u = jax.nn.swish(u.astype(jnp.float32)).astype(bf) @ upd_w1.astype(bf)
+    return jnp.mean((e + u).astype(jnp.float32))
+
+  def timeit(name, fn, *args):
+    t0 = time.perf_counter()
+    v = float(fn(*args, 0))
+    compile_s = time.perf_counter() - t0
+    assert np.isfinite(v), name
+    times = []
+    for i in range(1, 5):
+      t0 = time.perf_counter()
+      float(fn(*args, i))
+      times.append(time.perf_counter() - t0)
+    print(f"{name}: {min(times)*1e3:.1f} ms (compile {compile_s:.1f}s, "
+          f"all {[round(t*1e3,1) for t in times]})")
+
+  timeit("g2m_gather", gather_only, grid_proj)
+  timeit("g2m_kernel", kernel_only, const, gs0, gr_pad, w1)
+  timeit("gridside_mlps", gridside, grid_in)
+
+
+if __name__ == "__main__":
+  main()

@@ -75,8 +75,11 @@ def main():
   @jax.jit
   def run_encode(p, c, g, i):
     st = gc._statics(p)
-    m, gr = gc._run_grid2mesh_chunked(
-        p, st, seeded(i, g), const=c.get("g2m_const"))
+    if gc._g2m_fused is not None and "g2m_const" in c:
+      m, gr = gc._run_grid2mesh_fused(p, st, seeded(i, g), c["g2m_const"])
+    else:
+      m, gr = gc._run_grid2mesh_chunked(
+          p, st, seeded(i, g), const=c.get("g2m_const"))
     return (jnp.mean(m.astype(jnp.float32))
             + jnp.mean(gr.astype(jnp.float32)))
 
