@@ -113,19 +113,28 @@ class DenoiserArchitecture:
                cache_dir: Optional[str] = None,
                interpret_attention: Optional[bool] = None,
                decode_chunks: int = 1,
-               encode_chunks: int = 1):
-    """decode_chunks / encode_chunks > 1 run the mesh2grid / grid2mesh GNNs
+               encode_chunks: int = 1,
+               fused_aggregation: Optional[bool] = None):
+    """decode_chunks / encode_chunks > 1 run the mesh2grid / mesh2grid GNNs
     in sequential chunks (exact math; see models/graphcast.py) — at 0.25°
     this fits the denoiser on a 16 GB chip where the reference needs 32 GB
-    HBM (docs/cloud_vm_setup.md:43-44)."""
+    HBM (docs/cloud_vm_setup.md:43-44). fused_aggregation (default: on TPU)
+    engages the Pallas fused encoder/decoder kernels at batch 1, with the
+    norm-conditioning folded into per-eval scale/offset vectors and the
+    conditioning-independent part of the edge embeds (the parameter-free-LN
+    output) hoisted as a sampler-loop invariant."""
     self._cfg = cfg
     self._cache_dir = cache_dir
     self._interpret_attention = interpret_attention
     self._decode_chunks = decode_chunks
     self._encode_chunks = encode_chunks
+    self._fused_aggregation = fused_aggregation
     self._artifact: Optional[artifact_lib.GridMeshArtifact] = None
     self._mesh_transformer: Optional[MeshTransformer] = None
     self._g2m_plan = None
+    self._g2m_summer = None
+    self._g2m_fused = None
+    self._m2g_decoder = None
 
     latent = cfg.latent_size
     if cfg.node_output_size is None:
@@ -178,7 +187,30 @@ class DenoiserArchitecture:
     if self._grid2mesh_gnn.norm_conditioning_size is None:
       self._grid2mesh_gnn.norm_conditioning_size = cond_size
       self._mesh2grid_gnn.norm_conditioning_size = cond_size
-    if self._g2m_plan is None and self._encode_chunks > 1:
+    fused = self._fused_aggregation
+    if fused is None:
+      fused = jax.default_backend() == "tpu"
+    if fused and self._g2m_summer is None and self._cfg.hidden_layers == 1:
+      from graphcast_tpu.ops.pallas_decoder import FusedMesh2GridDecoder
+      from graphcast_tpu.ops.pallas_edge import FusedEdgeStep
+      from graphcast_tpu.ops.pallas_mp import BlockedSegmentSum
+      try:
+        self._g2m_summer = BlockedSegmentSum(
+            self._artifact.grid2mesh.receivers,
+            self._artifact.num_mesh_nodes,
+            block_nodes=256, chunk_edges=512, padded_input=True)
+        self._g2m_fused = FusedEdgeStep(
+            self._g2m_summer, include_edge_matmul=True, write_edges=False)
+        self._grid2mesh_gnn.edge_aggregators = {"grid2mesh": self._g2m_summer}
+      except ValueError:
+        self._g2m_summer = None
+        self._g2m_fused = None
+        self._grid2mesh_gnn.edge_aggregators = None
+      self._m2g_decoder = FusedMesh2GridDecoder(
+          self._artifact.mesh2grid.senders, self._artifact.num_grid_nodes,
+          self._cfg.node_output_size)
+    if (self._g2m_plan is None and self._encode_chunks > 1
+        and self._g2m_summer is None):
       from graphcast_tpu.geometry import chunking
       self._g2m_plan = chunking.plan_balanced_node_chunks(
           self._artifact.grid2mesh.receivers, self._artifact.num_mesh_nodes,
@@ -191,7 +223,13 @@ class DenoiserArchitecture:
     node-chunk layout when chunked encoding is active (see
     models/graphcast.py:_host_statics)."""
     statics = self._artifact.graph_statics()
-    if self._g2m_plan is not None:
+    if self._g2m_summer is not None:
+      s = self._g2m_summer
+      statics["g2m_senders"] = s.pad_edges(statics["g2m_senders"])
+      statics["g2m_receivers"] = s.padded_receivers
+      statics["g2m_edge_features"] = s.pad_edges(
+          statics["g2m_edge_features"])
+    elif self._g2m_plan is not None:
       plan = self._g2m_plan
       statics["g2m_senders"] = plan.pad_edge_array(statics["g2m_senders"])
       statics["g2m_receivers"] = plan.pad_edge_array(
@@ -450,6 +488,155 @@ class DenoiserArchitecture:
     out = jax.lax.map(decode_chunk, (grid_chunks, e_feats, senders))
     return out.reshape(g_total, batch, -1)
 
+  # --- fused Pallas paths (batch 1; conditioning folded into vectors) ---
+
+  @staticmethod
+  def _nc_vectors(p_mlp, cond, dtype):
+    """Conditioned-LayerNorm (scale, offset) vectors for batch-1 cond
+    [1, K]: NormConditioning maps cond → (scale−1, offset)
+    (nn/core.py:NormConditioning)."""
+    nc = p_mlp["norm_conditioning"]
+    co = cond.astype(dtype) @ nc["w"].astype(dtype) + nc["b"].astype(dtype)
+    c = co.shape[-1] // 2
+    return co[0, :c] + 1.0, co[0, c:]
+
+  def _static_edge_norm(self, p_embed, spec, edge_features, num_chunks,
+                        dtype):
+    """Parameter-free-LN(embed-MLP(edge_feats)): the conditioning-
+    independent part of the conditioned edge embeds. Constant across
+    denoiser evals — XLA hoists it out of the sampler's fori_loop as a
+    loop invariant. The conditioning enters later as
+    embed = en·s_e + o_e ⇒ embed @ We = en @ (s_e[:,None]·We) + o_e@We,
+    folded into the kernels' We'/b0'. Returns [E_padded, 1, latent]."""
+    e_feats = edge_features.astype(dtype)
+    total = e_feats.shape[0]
+    k = self._choose_chunks(total, num_chunks)
+    e_feats = e_feats.reshape(k, total // k, -1)
+
+    def chunk_fn(e_feat):
+      x = spec._mlp.apply(p_embed["mlp"], _add_batch_second_axis(e_feat, 1))
+      return spec._ln.apply({}, x)  # param-free LN under conditioning
+
+    return jax.lax.map(chunk_fn, e_feats).reshape(total, 1, -1)
+
+  def _run_grid2mesh_fused(self, params, statics, grid_node_features, cond):
+    """Conditioned grid2mesh encode via the aggregation-only FusedEdgeStep
+    (see models/graphcast.py:_run_grid2mesh_fused; here the edge matmul
+    stays in-kernel with conditioning-scaled We')."""
+    art = self._artifact
+    gnn = self._grid2mesh_gnn
+    p = params["grid2mesh_gnn"]
+    latent = self._cfg.latent_size
+    batch = grid_node_features.shape[1]
+    dtype = grid_node_features.dtype
+    gnc = cond[None]
+
+    grid_struct = _add_batch_second_axis(
+        statics["grid_node_features"].astype(dtype), batch)
+    mesh_struct = _add_batch_second_axis(
+        statics["mesh_node_features"].astype(dtype), batch)
+    dummy = jnp.zeros((art.num_mesh_nodes,) + grid_node_features.shape[1:],
+                      dtype)
+    grid_in = jnp.concatenate([grid_node_features, grid_struct], axis=-1)
+    mesh_in = jnp.concatenate([dummy, mesh_struct], axis=-1)
+
+    abstract_statics = jax.tree_util.tree_map(
+        lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), statics)
+    specs = gnn._specs(jax.eval_shape(
+        self._grid2mesh_graph, abstract_statics,
+        jax.ShapeDtypeStruct(grid_node_features.shape, dtype)))
+    grid_emb = specs["encoder_nodes_grid_nodes"].apply(
+        p["encoder_nodes_grid_nodes"], grid_in, global_norm_conditioning=gnc)
+    mesh_emb = specs["encoder_nodes_mesh_nodes"].apply(
+        p["encoder_nodes_mesh_nodes"], mesh_in, global_norm_conditioning=gnc)
+
+    pe = p["processor_0_edges_grid2mesh"]
+    w0 = pe["mlp"]["linear_0"]["w"].astype(dtype)
+    b0 = pe["mlp"]["linear_0"]["b"].astype(dtype)
+    we, ws, wr = w0[:latent], w0[latent:2 * latent], w0[2 * latent:]
+
+    en = self._static_edge_norm(
+        p["encoder_edges_grid2mesh"], specs["encoder_edges_grid2mesh"],
+        statics["g2m_edge_features"], max(self._encode_chunks, 8), dtype)
+    s_e, o_e = self._nc_vectors(p["encoder_edges_grid2mesh"], cond, dtype)
+    we_eff = s_e[:, None] * we
+    b0_eff = o_e @ we + b0
+    s1, o1 = self._nc_vectors(pe, cond, dtype)
+
+    gs = (grid_emb[:, 0] @ ws)[statics["g2m_senders"]]
+    gr_pad = self._g2m_fused.pad_nodes(mesh_emb[:, 0] @ wr)
+    agg = self._g2m_fused(
+        en[:, 0], gs, gr_pad, we_eff, b0_eff,
+        pe["mlp"]["linear_1"]["w"], pe["mlp"]["linear_1"]["b"], s1, o1)
+    if gnn.aggregate_normalization:
+      agg = agg / gnn.aggregate_normalization
+    agg = agg.astype(dtype)[:, None]
+
+    mesh_upd = specs["processor_0_nodes_mesh_nodes"].apply(
+        p["processor_0_nodes_mesh_nodes"], mesh_emb, agg,
+        global_norm_conditioning=gnc)
+    grid_upd = specs["processor_0_nodes_grid_nodes"].apply(
+        p["processor_0_nodes_grid_nodes"], grid_emb,
+        global_norm_conditioning=gnc)
+    return mesh_emb + mesh_upd, grid_emb + grid_upd
+
+  def _run_mesh2grid_fused(self, params, statics, latent_mesh_nodes,
+                           latent_grid_nodes, cond):
+    """Conditioned mesh2grid decode via FusedMesh2GridDecoder
+    (see models/graphcast.py:_run_mesh2grid_fused)."""
+    art = self._artifact
+    gnn = self._mesh2grid_gnn
+    p = params["mesh2grid_gnn"]
+    latent = self._cfg.latent_size
+    batch = latent_mesh_nodes.shape[1]
+    dtype = latent_mesh_nodes.dtype
+    dec = self._m2g_decoder
+
+    mesh_l = jax.ShapeDtypeStruct((art.num_mesh_nodes, batch, latent), dtype)
+    grid_l = jax.ShapeDtypeStruct((art.num_grid_nodes, batch, latent), dtype)
+    abstract_statics = jax.tree_util.tree_map(
+        lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype), statics)
+    specs = gnn._specs(jax.eval_shape(
+        self._mesh2grid_graph, abstract_statics, mesh_l, grid_l))
+
+    pe = p["processor_0_edges_mesh2grid"]
+    w0 = pe["mlp"]["linear_0"]["w"].astype(dtype)
+    b0 = pe["mlp"]["linear_0"]["b"].astype(dtype)
+    we, ws, wr = w0[:latent], w0[latent:2 * latent], w0[2 * latent:]
+
+    en = self._static_edge_norm(
+        p["encoder_edges_mesh2grid"], specs["encoder_edges_mesh2grid"],
+        statics["m2g_edge_features"], max(self._decode_chunks, 8), dtype)
+    const_slot = dec.rearrange_edge_array(en[:, 0])
+    s_e, o_e = self._nc_vectors(p["encoder_edges_mesh2grid"], cond, dtype)
+    es, eo = self._nc_vectors(pe, cond, dtype)
+    pn = p["processor_0_nodes_grid_nodes"]
+    wn0 = pn["mlp"]["linear_0"]["w"]
+    ns, no = self._nc_vectors(pn, cond, dtype)
+    pd = p["decoder_nodes_grid_nodes"]
+    wd1 = pd["mlp"]["linear_1"]["w"]
+    bd1 = pd["mlp"]["linear_1"]["b"]
+    weights = {
+        "we": s_e[:, None] * we,
+        "b0": o_e @ we + b0,
+        "wr": wr,
+        "w1": pe["mlp"]["linear_1"]["w"],
+        "b1": pe["mlp"]["linear_1"]["b"],
+        "escale": es, "eoffset": eo,
+        "wng": wn0[:latent], "wna": wn0[latent:],
+        "bn0": pn["mlp"]["linear_0"]["b"],
+        "wn1": pn["mlp"]["linear_1"]["w"],
+        "bn1": pn["mlp"]["linear_1"]["b"],
+        "nscale": ns, "noffset": no,
+        "wd0": pd["mlp"]["linear_0"]["w"],
+        "bd0": pd["mlp"]["linear_0"]["b"],
+        "wd1": jnp.pad(wd1, ((0, 0), (0, dec.out_pad - wd1.shape[1]))),
+        "bd1": jnp.pad(bd1, (0, dec.out_pad - bd1.shape[0])),
+    }
+    mesh_proj = latent_mesh_nodes[:, 0] @ ws
+    out = dec(latent_grid_nodes[:, 0], mesh_proj, const_slot, weights)
+    return out[:, None, :]
+
   def apply(self, params: core.Params, inputs: FieldSet,
             targets_template: FieldSet, forcings: FieldSet) -> FieldSet:
     grid_node_features, cond = self._split_features_and_conditioning(
@@ -457,8 +644,12 @@ class DenoiserArchitecture:
     self._maybe_init(inputs, cond.shape[-1])
 
     statics = self._statics(params)
+    batch1 = grid_node_features.shape[1] == 1 and cond is not None
     with jax.named_scope("grid2mesh_gnn"):
-      if self._encode_chunks > 1:
+      if self._g2m_fused is not None and batch1:
+        latent_mesh_nodes, latent_grid_nodes = self._run_grid2mesh_fused(
+            params, statics, grid_node_features, cond)
+      elif self._encode_chunks > 1 and self._g2m_plan is not None:
         latent_mesh_nodes, latent_grid_nodes = self._run_grid2mesh_chunked(
             params, statics, grid_node_features, cond)
       else:
@@ -474,7 +665,10 @@ class DenoiserArchitecture:
           params["mesh_transformer"], latent_mesh_nodes, cond)
 
     with jax.named_scope("mesh2grid_gnn"):
-      if self._decode_chunks > 1:
+      if self._m2g_decoder is not None and batch1:
+        output_grid_nodes = self._run_mesh2grid_fused(
+            params, statics, updated_mesh, latent_grid_nodes, cond)
+      elif self._decode_chunks > 1:
         output_grid_nodes = self._run_mesh2grid_chunked(
             params, statics, updated_mesh, latent_grid_nodes, cond)
       else:
@@ -495,11 +689,13 @@ class Denoiser:
                cache_dir: Optional[str] = None,
                interpret_attention: Optional[bool] = None,
                decode_chunks: int = 1,
-               encode_chunks: int = 1):
+               encode_chunks: int = 1,
+               fused_aggregation: Optional[bool] = None):
     self._architecture = DenoiserArchitecture(
         architecture_config, cache_dir=cache_dir,
         interpret_attention=interpret_attention,
-        decode_chunks=decode_chunks, encode_chunks=encode_chunks)
+        decode_chunks=decode_chunks, encode_chunks=encode_chunks,
+        fused_aggregation=fused_aggregation)
     self._noise_encoder = FourierFeaturesMLP(
         noise_encoder_config or NoiseEncoderConfig())
 

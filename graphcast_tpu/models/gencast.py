@@ -108,14 +108,16 @@ class GenCast(Predictor):
                cache_dir: Optional[str] = None,
                interpret_attention: Optional[bool] = None,
                decode_chunks: int = 1,
-               encode_chunks: int = 1):
+               encode_chunks: int = 1,
+               fused_aggregation: Optional[bool] = None):
     num_outputs = configs.num_output_channels(task_config)
     denoiser_architecture_config = dataclasses.replace(
         denoiser_architecture_config, node_output_size=num_outputs)
     self._denoiser = Denoiser(
         noise_encoder_config, denoiser_architecture_config,
         cache_dir=cache_dir, interpret_attention=interpret_attention,
-        decode_chunks=decode_chunks, encode_chunks=encode_chunks)
+        decode_chunks=decode_chunks, encode_chunks=encode_chunks,
+        fused_aggregation=fused_aggregation)
     self._sampler_config = sampler_config
     self._noise_config = noise_config
     self._task_config = task_config

@@ -47,6 +47,13 @@ from jax.experimental.pallas import tpu as pltpu
 LN_EPS = 1e-5
 
 
+def _swish(x):
+  """x * sigmoid(x) with explicitly-dtyped constants (jax.nn.sigmoid on
+  bf16 trips a Mosaic vector.broadcast verification bug)."""
+  one = jnp.asarray(1.0, x.dtype)
+  return x * (one / (one + jnp.exp(-x)))
+
+
 def _ln(y, scale, offset):
   mean = jnp.mean(y, axis=-1, keepdims=True)
   var = jnp.mean(jnp.square(y - mean), axis=-1, keepdims=True)
@@ -59,9 +66,15 @@ def _mm(a, b):
                              preferred_element_type=jnp.float32)
 
 
-def _decoder_kernel(*refs, compact, bn):
+def _decoder_kernel(*refs, compact, bn, edge_matmul):
   it = iter(refs)
   const_ref = next(it)
+  if edge_matmul:
+    # const rows are pre-first-layer edge latents (e.g. the static
+    # parameter-free-LN embeds of a norm-conditioned model); We'/b0'
+    # fold the conditioning scale/offset (see denoiser wiring).
+    we_ref = next(it)
+    b0_ref = next(it)
   if compact:
     # Sender rows arrive as a per-block compact table (few unique mesh
     # senders per block, see FusedMesh2GridDecoder) and expand on the MXU
@@ -83,7 +96,11 @@ def _decoder_kernel(*refs, compact, bn):
 
   agg = jnp.zeros_like(gproj)
   for j in range(3):
-    x0 = const_ref[j].astype(jnp.float32)
+    if edge_matmul:
+      x0 = _mm(const_ref[j], we_ref[:])
+      x0 += b0_ref[0][None].astype(jnp.float32)
+    else:
+      x0 = const_ref[j].astype(jnp.float32)
     if compact:
       oh = _unpack_mask(maskc_ref[0][j * bn:(j + 1) * bn], bn,
                         u).astype(comp.dtype)
@@ -93,24 +110,21 @@ def _decoder_kernel(*refs, compact, bn):
     x0 += gproj
     # Swish in the activation dtype (matches the XLA path's bf16 activation
     # math and halves the VPU cost that dominates this kernel).
-    xa = x0.astype(g.dtype)
-    h = xa * jax.nn.sigmoid(xa)
+    h = _swish(x0.astype(g.dtype))
     y = _mm(h, w1_ref[:]) + b1_ref[0][None].astype(jnp.float32)
     agg += _ln(y, es_ref[0][None].astype(jnp.float32),
                eo_ref[0][None].astype(jnp.float32))
 
   x = _mm(g, wng_ref[:]) + _mm(agg.astype(g.dtype), wna_ref[:])
   x += bn0_ref[0][None].astype(jnp.float32)
-  xa = x.astype(g.dtype)
-  h = xa * jax.nn.sigmoid(xa)
+  h = _swish(x.astype(g.dtype))
   y = _mm(h, wn1_ref[:]) + bn1_ref[0][None].astype(jnp.float32)
   upd = _ln(y, ns_ref[0][None].astype(jnp.float32),
             no_ref[0][None].astype(jnp.float32))
   res = (g.astype(jnp.float32) + upd).astype(g.dtype)
 
   x = _mm(res, wd0_ref[:]) + bd0_ref[0][None].astype(jnp.float32)
-  xa = x.astype(g.dtype)
-  h = xa * jax.nn.sigmoid(xa)
+  h = _swish(x.astype(g.dtype))
   out = _mm(h, wd1_ref[:]) + bd1_ref[0][None].astype(jnp.float32)
   out_ref[:] = out.astype(out_ref.dtype)
 
@@ -243,13 +257,23 @@ class FusedMesh2GridDecoder:
       return x.reshape(1, -1).astype(dtype)
 
     w = {k: v for k, v in weights.items()}
-    kernel = functools.partial(_decoder_kernel, compact=self.compact, bn=bn)
+    edge_matmul = "we" in w
+    em_specs = []
+    em_args = []
+    if edge_matmul:
+      em_specs = [
+          pl.BlockSpec((C, C), lambda i: (0, 0)),            # we
+          pl.BlockSpec((1, C), lambda i: (0, 0)),            # b0
+      ]
+      em_args = [w["we"].astype(dtype), w["b0"].reshape(1, C).astype(dtype)]
+    kernel = functools.partial(_decoder_kernel, compact=self.compact, bn=bn,
+                               edge_matmul=edge_matmul)
     out = pl.pallas_call(
         kernel,
         grid=(nb,),
         in_specs=[
             pl.BlockSpec((3, bn, C), lambda i: (0, i, 0)),   # const
-        ] + gather_specs + [
+        ] + em_specs + gather_specs + [
             pl.BlockSpec((bn, C), lambda i: (i, 0)),         # grid
             pl.BlockSpec((C, C), lambda i: (0, 0)),          # wr
             pl.BlockSpec((C, C), lambda i: (0, 0)),          # w1
@@ -271,7 +295,8 @@ class FusedMesh2GridDecoder:
         out_specs=pl.BlockSpec((bn, co), lambda i: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((self.padded_grid, co), dtype),
         interpret=interpret,
-    )(const_slot.astype(dtype), *gather_args, grid_pad.astype(dtype),
+    )(const_slot.astype(dtype), *em_args, *gather_args,
+      grid_pad.astype(dtype),
       w["wr"].astype(dtype), w["w1"].astype(dtype), row(w["b1"]),
       row(w["escale"]), row(w["eoffset"]),
       w["wng"].astype(dtype), w["wna"].astype(dtype), row(w["bn0"]),
@@ -296,12 +321,15 @@ class FusedMesh2GridDecoder:
     gproj = g32 @ w["wr"]
 
     def swish(x):
-      xa = x.astype(dtype)
-      return xa * jax.nn.sigmoid(xa)
+      return _swish(x.astype(dtype))
 
     agg = jnp.zeros_like(gproj)
     for j in range(3):
-      x0 = const[j] + gs[j] + gproj
+      if "we" in w:
+        x0 = const[j].astype(dtype).astype(jnp.float32) @ w["we"]
+        x0 += w["b0"][None] + gs[j] + gproj
+      else:
+        x0 = const[j] + gs[j] + gproj
       h = swish(x0)
       y = h.astype(jnp.float32) @ w["w1"] + w["b1"][None]
       agg += _ln(y, w["escale"][None], w["eoffset"][None])

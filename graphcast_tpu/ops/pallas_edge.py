@@ -43,6 +43,13 @@ from graphcast_tpu.ops.splash import _unpack_mask
 LN_EPS = 1e-5
 
 
+def _swish(x):
+  """x * sigmoid(x) with explicitly-dtyped constants (jax.nn.sigmoid on
+  bf16 trips a Mosaic vector.broadcast verification bug)."""
+  one = jnp.asarray(1.0, x.dtype)
+  return x * (one / (one + jnp.exp(-x)))
+
+
 def _fused_edge_kernel(block_of, first_of, *refs, cs, bn, has_we,
                        write_eout):
   c = pl.program_id(0)
@@ -87,8 +94,7 @@ def _fused_edge_kernel(block_of, first_of, *refs, cs, bn, has_we,
   # Swish in the activation dtype (the XLA path applies activations to the
   # bf16 matmul output too; bf16 halves the VPU cost of the sigmoid, which
   # profiling shows dominates this kernel).
-  xa = x0.astype(e.dtype)
-  h = xa * jax.nn.sigmoid(xa)
+  h = _swish(x0.astype(e.dtype))
   y = jax.lax.dot_general(
       h, w1_ref[:], (((1,), (0,)), ((), ())),
       preferred_element_type=jnp.float32)
@@ -286,8 +292,7 @@ class FusedEdgeStep:
     else:
       x0 = (e_pad.astype(jnp.float32) + gs.astype(jnp.float32)
             + gr_rows.astype(jnp.float32))
-    xa = x0.astype(e_pad.dtype)
-    h = xa * jax.nn.sigmoid(xa)
+    h = _swish(x0.astype(e_pad.dtype))
     y = h.astype(jnp.float32) @ w1.astype(jnp.float32)
     y = y + b1.astype(jnp.float32)[None]
     mean = jnp.mean(y, axis=-1, keepdims=True)

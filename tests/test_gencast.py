@@ -183,3 +183,44 @@ def test_denoiser_chunked_matches_full():
     np.testing.assert_allclose(
         np.asarray(s_chunk.data(n)), np.asarray(s_full.data(n)),
         rtol=3e-4, atol=3e-4)
+
+
+def test_denoiser_fused_kernels_match_full():
+  """fused_aggregation=True routes the denoiser's grid2mesh/mesh2grid
+  through the conditioned Pallas kernels (interpret on CPU) at batch 1;
+  outputs must match the plain paths."""
+  full = tiny_gencast()
+  fused = gencast.GenCast(
+      task_config=TINY_TASK,
+      denoiser_architecture_config=DenoiserArchitectureConfig(
+          sparse_transformer_config=SparseTransformerConfig(
+              attention_k_hop=2, d_model=16, num_layers=2, num_heads=2,
+              attention_type="mha", ffw_hidden=32),
+          mesh_size=1, latent_size=16, hidden_layers=1),
+      sampler_config=gencast.SamplerConfig(num_noise_levels=4),
+      noise_config=gencast.NoiseConfig(),
+      noise_encoder_config=NoiseEncoderConfig(
+          num_frequencies=8, output_sizes=(16, 8)),
+      cache_dir="", interpret_attention=True, fused_aggregation=True)
+  inputs, targets, forcings = make_batch(batch=1)
+  rng = jax.random.PRNGKey(0)
+  params = full.init(rng, inputs, targets, forcings)
+  s_full = full(params, rng, inputs, targets, forcings)
+  params_fused = dict(params)
+  params_fused["architecture"] = {
+      k: v for k, v in params["architecture"].items()
+      if k != "graph_statics"}
+  s_fused = fused(params_fused, rng, inputs, targets, forcings)
+  # The decoder kernel must actually be engaged.
+  assert fused._denoiser._architecture._m2g_decoder is not None
+  for n in targets.var_names:
+    np.testing.assert_allclose(
+        np.asarray(s_fused.data(n)), np.asarray(s_full.data(n)),
+        rtol=1e-3, atol=1e-3)
+
+  # Training: loss + grads flow through the fused paths (custom VJPs).
+  (loss, _), = [fused.loss(params_fused, rng, inputs, targets, forcings)]
+  g = jax.grad(lambda p: jnp.mean(
+      fused.loss(p, rng, inputs, targets, forcings)[0]))(params_fused)
+  leaves = jax.tree_util.tree_leaves(g)
+  assert all(np.isfinite(np.asarray(x)).all() for x in leaves)
