@@ -23,14 +23,17 @@ def main():
   from graphcast_tpu.ops.pallas_edge import FusedEdgeStep
   from graphcast_tpu.ops.pallas_mp import BlockedSegmentSum
 
+  import sys
+  cs = int(sys.argv[1]) if len(sys.argv) > 1 else 512
+  bn = int(sys.argv[2]) if len(sys.argv) > 2 else 256
   lat = np.arange(-90.0, 90.25, 0.25)
   lon = np.arange(0.0, 360.0, 0.25)
   art = artifact_lib.build_artifact(
       grid_lat=lat, grid_lon=lon, mesh_size=6,
       radius_query_fraction_edge_length=0.6, multimesh=True, cache_dir=None)
   G, M, C = art.num_grid_nodes, art.num_mesh_nodes, 512
-  summer = BlockedSegmentSum(art.grid2mesh.receivers, M, block_nodes=256,
-                             chunk_edges=512, padded_input=True)
+  summer = BlockedSegmentSum(art.grid2mesh.receivers, M, block_nodes=bn,
+                             chunk_edges=cs, padded_input=True)
   step = FusedEdgeStep(summer, include_edge_matmul=False, write_edges=False)
   L = summer.layout_length
   print(f"# G={G} M={M} L={L} chunks={summer.total_chunks} "
