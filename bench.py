@@ -189,18 +189,21 @@ def _bench_gencast():
       (params, inputs, targets, forcings))
 
   @jax.jit
-  def sample_step(p, r):
+  def sample_step(p, r, inputs, targets, forcings):
+    # Everything large rides as jit arguments (rig rule: closure constants
+    # inline into the HLO; at 0.25° the input arrays alone are ~700 MB).
     preds = predictor(p, r, inputs, targets, forcings)
     return jnp.mean(preds.data("temperature").astype(jnp.float32))
 
   t0 = time.perf_counter()
-  v = float(sample_step(params, rng))
+  v = float(sample_step(params, rng, inputs, targets, forcings))
   compile_s = time.perf_counter() - t0
   assert np.isfinite(v), "non-finite gencast sample"
   times = []
   for i in range(3):
     t0 = time.perf_counter()
-    float(sample_step(params, jax.random.PRNGKey(i + 1)))
+    float(sample_step(params, jax.random.PRNGKey(i + 1), inputs, targets,
+                      forcings))
     times.append(time.perf_counter() - t0)
   steady = min(times)
   metric = (f"gencast_{resolution}deg_mesh{mesh_size}_splash_12h_step"

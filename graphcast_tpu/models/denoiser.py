@@ -229,6 +229,18 @@ class DenoiserArchitecture:
       statics["g2m_receivers"] = s.padded_receivers
       statics["g2m_edge_features"] = s.pad_edges(
           statics["g2m_edge_features"])
+      # Kernel masks as statics (jit args, not HLO constants) — see
+      # models/graphcast.py:_host_statics.
+      statics["g2m_agg_mask"], statics["g2m_agg_mask_t"] = (
+          s.onehot_masks())
+    if self._m2g_decoder is not None:
+      for k, v in self._m2g_decoder.host_layout().items():
+        statics[f"m2g_dec_{k}"] = v
+    if (self._mesh_transformer is not None
+        and self._cfg.sparse_transformer_config.attention_type
+        == "splash_mha"):
+      for k, v in self._mesh_transformer.host_kernel_statics().items():
+        statics[f"splash_{k}"] = v
     elif self._g2m_plan is not None:
       plan = self._g2m_plan
       statics["g2m_senders"] = plan.pad_edge_array(statics["g2m_senders"])
@@ -563,11 +575,13 @@ class DenoiserArchitecture:
     b0_eff = o_e @ we + b0
     s1, o1 = self._nc_vectors(pe, cond, dtype)
 
+    from graphcast_tpu.models.graphcast import _agg_masks, _dec_layout
     gs = (grid_emb[:, 0] @ ws)[statics["g2m_senders"]]
     gr_pad = self._g2m_fused.pad_nodes(mesh_emb[:, 0] @ wr)
     agg = self._g2m_fused(
         en[:, 0], gs, gr_pad, we_eff, b0_eff,
-        pe["mlp"]["linear_1"]["w"], pe["mlp"]["linear_1"]["b"], s1, o1)
+        pe["mlp"]["linear_1"]["w"], pe["mlp"]["linear_1"]["b"], s1, o1,
+        masks=_agg_masks(statics, "g2m"))
     if gnn.aggregate_normalization:
       agg = agg / gnn.aggregate_normalization
     agg = agg.astype(dtype)[:, None]
@@ -633,8 +647,10 @@ class DenoiserArchitecture:
         "wd1": jnp.pad(wd1, ((0, 0), (0, dec.out_pad - wd1.shape[1]))),
         "bd1": jnp.pad(bd1, (0, dec.out_pad - bd1.shape[0])),
     }
+    from graphcast_tpu.models.graphcast import _dec_layout
     mesh_proj = latent_mesh_nodes[:, 0] @ ws
-    out = dec(latent_grid_nodes[:, 0], mesh_proj, const_slot, weights)
+    out = dec(latent_grid_nodes[:, 0], mesh_proj, const_slot, weights,
+              layout=_dec_layout(statics))
     return out[:, None, :]
 
   def apply(self, params: core.Params, inputs: FieldSet,
@@ -653,16 +669,21 @@ class DenoiserArchitecture:
         latent_mesh_nodes, latent_grid_nodes = self._run_grid2mesh_chunked(
             params, statics, grid_node_features, cond)
       else:
+        from graphcast_tpu.models.graphcast import _agg_masks
         g2m_out = self._grid2mesh_gnn.apply(
             params["grid2mesh_gnn"],
             self._grid2mesh_graph(statics, grid_node_features),
-            global_norm_conditioning=cond)
+            global_norm_conditioning=cond,
+            kernel_statics={"grid2mesh": _agg_masks(statics, "g2m")})
         latent_mesh_nodes = g2m_out.nodes["mesh_nodes"].features
         latent_grid_nodes = g2m_out.nodes["grid_nodes"].features
 
     with jax.named_scope("mesh_transformer"):
+      splash_statics = {k[len("splash_"):]: v for k, v in statics.items()
+                        if k.startswith("splash_")}
       updated_mesh = self._mesh_transformer.apply(
-          params["mesh_transformer"], latent_mesh_nodes, cond)
+          params["mesh_transformer"], latent_mesh_nodes, cond,
+          kernel_statics=splash_statics or None)
 
     with jax.named_scope("mesh2grid_gnn"):
       if self._m2g_decoder is not None and batch1:

@@ -38,6 +38,21 @@ def _add_batch_second_axis(data, batch_size):
                           (data.shape[0], batch_size, data.shape[-1]))
 
 
+def _agg_masks(statics, prefix):
+  """(mask, mask_t) aggregation-kernel masks from graph statics, or None
+  when absent (older statics → inline-constant fallback)."""
+  m = statics.get(f"{prefix}_agg_mask")
+  mt = statics.get(f"{prefix}_agg_mask_t")
+  return (m, mt) if m is not None and mt is not None else None
+
+
+def _dec_layout(statics):
+  """Fused-decoder layout arrays from graph statics (m2g_dec_* keys)."""
+  lay = {k[len("m2g_dec_"):]: v for k, v in statics.items()
+         if k.startswith("m2g_dec_")}
+  return lay or None
+
+
 class GraphCast(Predictor):
   """The GraphCast one-step predictor."""
 
@@ -208,6 +223,18 @@ class GraphCast(Predictor):
       statics["mesh_receivers"] = s.padded_receivers
       statics["mesh_edge_features"] = s.pad_edges(
           statics["mesh_edge_features"])
+      # Kernel masks as statics (jit args): at 0.25° the bitpacked one-hot
+      # masks total hundreds of MB across the three edge sets — inlined as
+      # HLO constants they overflow the remote compile service's request
+      # limit (HTTP 413) and bloat every compile.
+      statics["mesh_agg_mask"], statics["mesh_agg_mask_t"] = (
+          s.onehot_masks())
+    if self._g2m_summer is not None:
+      statics["g2m_agg_mask"], statics["g2m_agg_mask_t"] = (
+          self._g2m_summer.onehot_masks())
+    if self._m2g_decoder is not None:
+      for k, v in self._m2g_decoder.host_layout().items():
+        statics[f"m2g_dec_{k}"] = v
     if self._g2m_summer is not None:
       s = self._g2m_summer
       statics["g2m_senders"] = s.pad_edges(statics["g2m_senders"])
@@ -611,7 +638,8 @@ class GraphCast(Predictor):
     agg = self._g2m_fused(
         const[:, 0].astype(dtype), gs, gr_pad, None, None,
         pe["mlp"]["linear_1"]["w"], pe["mlp"]["linear_1"]["b"],
-        pe["layer_norm"]["scale"], pe["layer_norm"]["offset"])
+        pe["layer_norm"]["scale"], pe["layer_norm"]["offset"],
+        masks=_agg_masks(statics, "g2m"))
     if gnn.aggregate_normalization:
       agg = agg / gnn.aggregate_normalization
     agg = agg.astype(dtype)[:, None]
@@ -624,7 +652,7 @@ class GraphCast(Predictor):
 
   # ----- fully-fused mesh2grid decode (Pallas, batch-1 fast path) -----
 
-  def _run_mesh2grid_fused(self, params, latent_mesh_nodes,
+  def _run_mesh2grid_fused(self, params, statics, latent_mesh_nodes,
                            latent_grid_nodes, const_slot):
     """The whole decoder in one Pallas pass per grid-node block
     (ops.pallas_decoder.FusedMesh2GridDecoder); writes only the final
@@ -661,7 +689,8 @@ class GraphCast(Predictor):
         "wd1": jnp.pad(wd1, ((0, 0), (0, dec.out_pad - wd1.shape[1]))),
         "bd1": jnp.pad(bd1, (0, dec.out_pad - bd1.shape[0])),
     }
-    out = dec(latent_grid_nodes[:, 0], mesh_proj, const_slot, weights)
+    out = dec(latent_grid_nodes[:, 0], mesh_proj, const_slot, weights,
+              layout=_dec_layout(statics))
     return out[:, None, :]
 
   # ----- feature packing -----
@@ -751,14 +780,16 @@ class GraphCast(Predictor):
       else:
         g2m_out = self._grid2mesh_gnn.apply(
             params["grid2mesh_gnn"],
-            self._grid2mesh_graph(statics, grid_node_features))
+            self._grid2mesh_graph(statics, grid_node_features),
+            kernel_statics={"grid2mesh": _agg_masks(statics, "g2m")})
         latent_mesh_nodes = g2m_out.nodes["mesh_nodes"].features
         latent_grid_nodes = g2m_out.nodes["grid_nodes"].features
 
     # Process (multi-mesh).
     with jax.named_scope("mesh_gnn"):
       mesh_out = self._mesh_gnn.apply(
-          params["mesh_gnn"], self._mesh_graph(statics, latent_mesh_nodes))
+          params["mesh_gnn"], self._mesh_graph(statics, latent_mesh_nodes),
+          kernel_statics={"mesh": _agg_masks(statics, "mesh")})
     updated_latent_mesh_nodes = mesh_out.nodes["mesh_nodes"].features
 
     # Decode (mesh2grid).
@@ -775,7 +806,8 @@ class GraphCast(Predictor):
               updated_latent_mesh_nodes.dtype)
           const_slot = self._m2g_decoder.rearrange_edge_array(const[:, 0])
         output_grid_nodes = self._run_mesh2grid_fused(
-            params, updated_latent_mesh_nodes, latent_grid_nodes, const_slot)
+            params, statics, updated_latent_mesh_nodes, latent_grid_nodes,
+            const_slot)
       elif self._decode_chunks > 1:
         output_grid_nodes = self._run_mesh2grid_chunked(
             params, statics, updated_latent_mesh_nodes, latent_grid_nodes,

@@ -326,7 +326,14 @@ class Transformer:
 
   # ----- forward -----
 
-  def _attend(self, params, x):
+  def host_kernel_statics(self):
+    """Attention-kernel index/mask numpy arrays to thread as jit args
+    (splash only; dense/triblock masks stay inline)."""
+    if self.cfg.attention_type == "splash_mha":
+      return self._splash.host_statics()
+    return {}
+
+  def _attend(self, params, x, kernel_statics=None):
     cfg = self.cfg
     if cfg.attention_type == "mha":
       return dense_mha(params, cfg, x, jnp.asarray(self._dense_mask))
@@ -339,7 +346,8 @@ class Transformer:
     q = _mh_linear(params["mha_proj_q"], x, cfg.num_heads, cfg.key_size)
     k = _mh_linear(params["mha_proj_k"], x, cfg.num_heads, cfg.key_size)
     v = _mh_linear(params["mha_proj_v"], x, cfg.num_heads, cfg.value_size)
-    out = self._splash(q, k, v, scale=cfg.key_size ** -0.5)
+    out = self._splash(q, k, v, scale=cfg.key_size ** -0.5,
+                       statics=kernel_statics)
     out = out.reshape(out.shape[:-2] + (cfg.num_heads * cfg.value_size,))
     lin = core.Linear(cfg.num_heads * cfg.value_size, cfg.d_model)
     return lin.apply(params["mha_final"], out)
@@ -352,8 +360,11 @@ class Transformer:
     return down.apply(params["ffw_down"],
                       act(up.apply(params["ffw_up"], x)))
 
-  def apply(self, params: core.Params, x, global_norm_conditioning):
-    """x: [batch, num_nodes, d_model]; conditioning: [batch, cond]."""
+  def apply(self, params: core.Params, x, global_norm_conditioning,
+            kernel_statics=None):
+    """x: [batch, num_nodes, d_model]; conditioning: [batch, cond].
+    kernel_statics: optional splash index/mask device arrays (shared by all
+    layers; see host_kernel_statics)."""
     cfg = self.cfg
     ln = core.LayerNorm(cfg.d_model, create_scale=False, create_offset=False)
     cond_size = global_norm_conditioning.shape[-1]
@@ -363,7 +374,7 @@ class Transformer:
     for i in range(cfg.num_layers):
       p = params[f"block_{i:02d}"]
       h = nc.apply(p["norm_conditioning"], ln.apply({}, x), cond)
-      x = x + self._attend(p, h)
+      x = x + self._attend(p, h, kernel_statics)
       h = nc.apply(p["norm_conditioning_1"], ln.apply({}, x), cond)
       x = x + self._ffw(p, h)
 

@@ -43,12 +43,16 @@ class MeshTransformer:
   def init(self, key, cond_size: int) -> core.Params:
     return self._transformer.init(key, cond_size)
 
+  def host_kernel_statics(self):
+    return self._transformer.host_kernel_statics()
+
   def apply(self, params: core.Params, node_features,
-            global_norm_conditioning) -> jnp.ndarray:
+            global_norm_conditioning, kernel_statics=None) -> jnp.ndarray:
     """node_features: [num_nodes, batch, d_model];
     conditioning: [batch, cond]. Returns same layout as input."""
     if node_features.ndim != 3:
       raise ValueError(f"expected [nodes, batch, d], got {node_features.shape}")
     x = jnp.transpose(node_features, (1, 0, 2))
-    y = self._transformer.apply(params, x, global_norm_conditioning)
+    y = self._transformer.apply(params, x, global_norm_conditioning,
+                                kernel_statics=kernel_statics)
     return jnp.transpose(y, (1, 0, 2))

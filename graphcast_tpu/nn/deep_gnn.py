@@ -159,7 +159,11 @@ class DeepGraphNet:
             for (name, spec), k in zip(sorted(specs.items()), keys)}
 
   def apply(self, params: core.Params, graph: TypedGraph,
-            global_norm_conditioning=None) -> TypedGraph:
+            global_norm_conditioning=None, kernel_statics=None) -> TypedGraph:
+    """kernel_statics: optional {edge_set_name: (mask, mask_t)} device
+    arrays for the fused aggregation kernels (threaded from the model's
+    graph_statics so the bitpacked masks are jit args, not HLO
+    constants)."""
     if self.use_norm_conditioning and global_norm_conditioning is None:
       raise ValueError("global_norm_conditioning required")
     if not self.use_norm_conditioning and global_norm_conditioning is not None:
@@ -211,7 +215,8 @@ class DeepGraphNet:
       fused = (self.edge_aggregators or {}).get(
           edge_set_name if indices_are_sorted else None)
       if fused is not None and data.ndim == 3:
-        out = fused(data)  # f32 accumulation inside the kernel
+        ks = (kernel_statics or {}).get(edge_set_name)
+        out = fused(data, ks)  # f32 accumulation inside the kernel
         if self.aggregate_normalization is not None:
           out = out / self.aggregate_normalization
         return out
@@ -234,7 +239,8 @@ class DeepGraphNet:
     for _ in range(self.num_processor_repetitions):
       for i in range(self.num_message_passing_steps):
         if fused_step is not None:
-          graph = self._apply_fused_step(params, graph, i, specs, fused_step)
+          graph = self._apply_fused_step(params, graph, i, specs, fused_step,
+                                         kernel_statics)
           continue
         prev = graph
         graph = mp.apply_graph_network(
@@ -287,7 +293,7 @@ class DeepGraphNet:
     return key, step
 
   def _apply_fused_step(self, params, graph: TypedGraph, i: int, specs,
-                        target) -> TypedGraph:
+                        target, kernel_statics=None) -> TypedGraph:
     """One processor step via ops.pallas_edge.FusedEdgeStep: edge MLP +
     LayerNorm + edge residual + aggregation in one kernel; node update and
     residuals outside (cheap: num_nodes rows)."""
@@ -311,7 +317,8 @@ class DeepGraphNet:
     e_new, agg = step(
         e, gs, gr_pad, we, pe["mlp"]["linear_0"]["b"],
         pe["mlp"]["linear_1"]["w"], pe["mlp"]["linear_1"]["b"],
-        pe["layer_norm"]["scale"], pe["layer_norm"]["offset"])
+        pe["layer_norm"]["scale"], pe["layer_norm"]["offset"],
+        masks=(kernel_statics or {}).get(name))
     if self.aggregate_normalization is not None:
       agg = agg / self.aggregate_normalization
     agg = agg.astype(dtype)

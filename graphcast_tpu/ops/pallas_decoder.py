@@ -205,7 +205,17 @@ class FusedMesh2GridDecoder:
         (0, 0)] * (per_edge.ndim - 1)
     return jnp.pad(x, pad)
 
-  def __call__(self, grid_lat, mesh_proj, const_slot, weights):
+  def host_layout(self):
+    """Numpy layout arrays for threading as jit args (graph_statics), so
+    the sender indices / bitpacked one-hot masks (tens of MB at 0.25°) do
+    not inline into the HLO."""
+    out = {"senders": self.senders_slot.reshape(-1)}
+    if self.compact:
+      out["ids"] = self.compact_ids.reshape(-1)
+      out["masks"] = self.compact_masks
+    return out
+
+  def __call__(self, grid_lat, mesh_proj, const_slot, weights, layout=None):
     """Runs the fused decoder.
 
     Args:
@@ -216,17 +226,21 @@ class FusedMesh2GridDecoder:
         (embed(edge_feats) @ We + b0), slot-major.
       weights: dict with keys wr, w1, b1, escale, eoffset, wng, wna, bn0,
         wn1, bn1, nscale, noffset, wd0, bd0, wd1, bd1 (f32 or act dtype;
-        wd1/bd1 padded to out_pad).
+        wd1/bd1 padded to out_pad). Optional we/b0 switch on the in-kernel
+        edge matmul (conditioned-embed models).
+      layout: optional DEVICE-array dict (see :meth:`host_layout`) passed
+        as jit args instead of inline constants.
 
     Returns:
       [num_grid, num_outputs] decoded outputs (activation dtype).
     """
-    return _fused_decode(grid_lat, mesh_proj, const_slot, weights,
+    return _fused_decode(grid_lat, mesh_proj, const_slot, weights, layout,
                          _DecoderHolder(self), self._interpret)
 
   # --- implementations ---
 
-  def _forward(self, grid_lat, mesh_proj, const_slot, weights, interpret):
+  def _forward(self, grid_lat, mesh_proj, const_slot, weights, layout,
+               interpret):
     if interpret is None:
       interpret = jax.default_backend() != "tpu"
     bn = self.block_nodes
@@ -237,17 +251,26 @@ class FusedMesh2GridDecoder:
     dtype = grid_lat.dtype
     co = self.out_pad
 
+    lay = layout or {}
     if self.compact:
       u = self.u_pad
-      comp = mesh_proj[jnp.asarray(self.compact_ids.reshape(-1))].reshape(
-          nb, u, C).astype(dtype)
+      ids = lay.get("ids")
+      if ids is None:
+        ids = jnp.asarray(self.compact_ids.reshape(-1))
+      maskc = lay.get("masks")
+      if maskc is None:
+        maskc = jnp.asarray(self.compact_masks)
+      comp = mesh_proj[ids].reshape(nb, u, C).astype(dtype)
       gather_specs = [
           pl.BlockSpec((1, 3 * bn, u // 32), lambda i: (i, 0, 0)),  # maskc
           pl.BlockSpec((1, u, C), lambda i: (i, 0, 0)),             # comp
       ]
-      gather_args = [jnp.asarray(self.compact_masks), comp]
+      gather_args = [maskc, comp]
     else:
-      gs = mesh_proj[jnp.asarray(self.senders_slot.reshape(-1))].reshape(
+      senders = lay.get("senders")
+      if senders is None:
+        senders = jnp.asarray(self.senders_slot.reshape(-1))
+      gs = mesh_proj[senders].reshape(
           3, self.padded_grid, C).astype(dtype)
       gather_specs = [pl.BlockSpec((3, bn, C), lambda i: (0, i, 0))]  # gs
       gather_args = [gs]
@@ -306,7 +329,8 @@ class FusedMesh2GridDecoder:
       w["wd1"].astype(dtype), row(w["bd1"]))
     return out[:G, :self.num_outputs]
 
-  def _reference_math(self, grid_lat, mesh_proj, const_slot, weights):
+  def _reference_math(self, grid_lat, mesh_proj, const_slot, weights,
+                      layout=None):
     """Same pipeline in plain XLA (VJP recompute + test ground truth)."""
     G, C = grid_lat.shape
     dtype = grid_lat.dtype
@@ -314,7 +338,10 @@ class FusedMesh2GridDecoder:
     # them cast, per the cast-params-at-use policy), then do f32 math.
     w = {k: jnp.asarray(v).astype(dtype).astype(jnp.float32)
          for k, v in weights.items()}
-    gs = mesh_proj[jnp.asarray(self.senders_slot.reshape(-1))].reshape(
+    senders = (layout or {}).get("senders")
+    if senders is None:
+      senders = jnp.asarray(self.senders_slot.reshape(-1))
+    gs = mesh_proj[senders].reshape(
         3, self.padded_grid, C)[:, :G].astype(jnp.float32)
     const = const_slot[:, :G].astype(jnp.float32)
     g32 = grid_lat.astype(jnp.float32)
@@ -360,26 +387,27 @@ class _DecoderHolder:
     return isinstance(other, _DecoderHolder) and other.dec is self.dec
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
-def _fused_decode(grid_lat, mesh_proj, const_slot, weights, holder,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _fused_decode(grid_lat, mesh_proj, const_slot, weights, layout, holder,
                   interpret):
   return holder.dec._forward(grid_lat, mesh_proj, const_slot, weights,
-                             interpret)
+                             layout, interpret)
 
 
-def _fd_fwd(grid_lat, mesh_proj, const_slot, weights, holder, interpret):
+def _fd_fwd(grid_lat, mesh_proj, const_slot, weights, layout, holder,
+            interpret):
   out = holder.dec._forward(grid_lat, mesh_proj, const_slot, weights,
-                            interpret)
-  return out, (grid_lat, mesh_proj, const_slot, weights)
+                            layout, interpret)
+  return out, (grid_lat, mesh_proj, const_slot, weights, layout)
 
 
 def _fd_bwd(holder, interpret, residuals, g):
   del interpret
-  grid_lat, mesh_proj, const_slot, weights = residuals
+  grid_lat, mesh_proj, const_slot, weights, layout = residuals
   _, vjp = jax.vjp(
-      lambda *args: holder.dec._reference_math(*args),
+      lambda a, b, c, d: holder.dec._reference_math(a, b, c, d, layout),
       grid_lat, mesh_proj, const_slot, weights)
-  return vjp(g)
+  return vjp(g) + (None,)
 
 
 _fused_decode.defvjp(_fd_fwd, _fd_bwd)

@@ -183,7 +183,13 @@ class FusedEdgeStep:
     total = s.num_node_blocks * s.block_nodes
     return jnp.pad(x, ((0, total - x.shape[0]), (0, 0)))
 
-  def __call__(self, e_pad, gs, gr_pad, we, b0, w1, b1, scale, offset):
+  def host_masks(self):
+    """(mask, mask_t) numpy arrays for threading as jit args (e.g. via the
+    model's graph_statics) so they do not inline as HLO constants."""
+    return self.mask, self.mask_t
+
+  def __call__(self, e_pad, gs, gr_pad, we, b0, w1, b1, scale, offset,
+               masks=None):
     """One fused edge step.
 
     Args:
@@ -196,6 +202,9 @@ class FusedEdgeStep:
         with ``include_edge_matmul=False``.
       w1: [C, C] second linear layer; b1: [C].
       scale/offset: [C] LayerNorm affine params.
+      masks: optional (mask, mask_t) DEVICE arrays (see :meth:`host_masks`)
+        — pass as jit args so the bitpacked masks (tens of MB at 0.25°) do
+        not inline into the HLO. Default: inline constants.
 
     Returns:
       (e_out [L, C] = e + y, agg [num_nodes, C] f32 sums of y), or just
@@ -205,12 +214,12 @@ class FusedEdgeStep:
       we = jnp.zeros((0,)) if we is None else we
       b0 = jnp.zeros((0,)) if b0 is None else b0
     return _fused_edge_step(e_pad, gs, gr_pad, we, b0, w1, b1, scale, offset,
-                            _StepHolder(self), self._interpret)
+                            masks, _StepHolder(self), self._interpret)
 
   # --- implementations ---
 
   def _forward(self, e_pad, gs, gr_pad, we, b0, w1, b1, scale, offset,
-               interpret):
+               masks, interpret):
     s = self._summer
     cs, bn = s.chunk_edges, s.block_nodes
     tc, nb = s.total_chunks, s.num_node_blocks
@@ -236,8 +245,11 @@ class FusedEdgeStep:
                      lambda c, bo, fo: (c, 0, 0)),             # mask
         pl.BlockSpec((bn, C), lambda c, bo, fo: (bo[c], 0)),   # gr
     ]
-    args = [e_pad, gs.astype(dtype), jnp.asarray(self.mask_t),
-            jnp.asarray(self.mask), gr_pad.astype(dtype)]
+    if masks is None:
+      mask, mask_t = jnp.asarray(self.mask), jnp.asarray(self.mask_t)
+    else:
+      mask, mask_t = masks
+    args = [e_pad, gs.astype(dtype), mask_t, mask, gr_pad.astype(dtype)]
     if self.include_edge_matmul:
       in_specs += [
           pl.BlockSpec((C, C), lambda c, bo, fo: (0, 0)),      # we
@@ -322,17 +334,17 @@ class _StepHolder:
     return isinstance(other, _StepHolder) and other.step is self.step
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11))
 def _fused_edge_step(e_pad, gs, gr_pad, we, b0, w1, b1, scale, offset,
-                     holder, interpret):
+                     masks, holder, interpret):
   return holder.step._forward(e_pad, gs, gr_pad, we, b0, w1, b1, scale,
-                              offset, interpret)
+                              offset, masks, interpret)
 
 
-def _fes_fwd(e_pad, gs, gr_pad, we, b0, w1, b1, scale, offset, holder,
-             interpret):
+def _fes_fwd(e_pad, gs, gr_pad, we, b0, w1, b1, scale, offset, masks,
+             holder, interpret):
   out = holder.step._forward(e_pad, gs, gr_pad, we, b0, w1, b1, scale,
-                             offset, interpret)
+                             offset, masks, interpret)
   return out, (e_pad, gs, gr_pad, we, b0, w1, b1, scale, offset)
 
 
@@ -343,7 +355,7 @@ def _fes_bwd(holder, interpret, residuals, grads):
   _, vjp = jax.vjp(
       lambda *args: holder.step._reference_math(*args),
       e_pad, gs, gr_pad, we, b0, w1, b1, scale, offset)
-  return vjp(grads)
+  return vjp(grads) + (None,)
 
 
 _fused_edge_step.defvjp(_fes_fwd, _fes_bwd)

@@ -193,20 +193,26 @@ class BlockedSegmentSum:
     self._onehot_masks = (mask, mask_t)
     return self._onehot_masks
 
-  def __call__(self, messages):
+  def __call__(self, messages, masks=None):
     """messages: [E(, B), C] → [num_nodes(, B), C] sums; E is the original
     edge count, or ``layout_length`` when ``padded_input=True``.
-    Differentiable (the VJP of a segment sum is a gather)."""
+    Differentiable (the VJP of a segment sum is a gather).
+
+    ``masks``: optional (mask, mask_t) DEVICE arrays (see
+    :meth:`onehot_masks`) — pass them as jit arguments (e.g. from the
+    model's graph_statics) so the bitpacked masks do not inline as HLO
+    constants (tens of MB per edge set; the remote compile service rejects
+    oversized modules). Default: inline constants.
+    """
     if messages.ndim == 3:
       # [E, B, C] GNN layout: aggregation is per-edge linear, so flatten
       # batch into channels for the kernel.
       e, b, c = messages.shape
-      out = self(messages.reshape(e, b * c))
+      out = self(messages.reshape(e, b * c), masks)
       return out.reshape(out.shape[0], b, c)
-    receivers = jnp.asarray(self.receivers_layout.reshape(-1))
-    return _blocked_segment_sum(messages, self, receivers)
+    return _blocked_segment_sum_impl(messages, masks, _SummerHolder(self))
 
-  def _forward(self, messages):
+  def _forward(self, messages, masks=None):
     interpret = self._interpret
     if interpret is None:
       interpret = jax.default_backend() != "tpu"
@@ -224,7 +230,8 @@ class BlockedSegmentSum:
           jnp.asarray(self.layout_index)]
     total_chunks = self.total_chunks
 
-    mask, _ = self.onehot_masks()
+    mask = masks[0] if masks is not None else jnp.asarray(
+        self.onehot_masks()[0])
     kernel = functools.partial(
         _agg_kernel, block_nodes=self.block_nodes,
         chunk_edges=self.chunk_edges, max_chunks=self.max_chunks)
@@ -255,7 +262,7 @@ class BlockedSegmentSum:
             (self.num_node_blocks, self.block_nodes, c), messages.dtype),
         interpret=interpret,
     )(jnp.asarray(self.chunk_base), jnp.asarray(self.num_chunks),
-      jnp.asarray(mask), msgs)
+      mask, msgs)
     return out.reshape(self.num_node_blocks * self.block_nodes,
                        c)[:self.num_nodes]
 
@@ -273,13 +280,13 @@ class _SummerHolder:
     return isinstance(other, _SummerHolder) and other.summer is self.summer
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
-def _blocked_segment_sum_impl(messages, holder, receivers_unused):
-  return holder.summer._forward(messages)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def _blocked_segment_sum_impl(messages, masks, holder):
+  return holder.summer._forward(messages, masks)
 
 
-def _bss_fwd(messages, holder, receivers_unused):
-  return holder.summer._forward(messages), None
+def _bss_fwd(messages, masks, holder):
+  return holder.summer._forward(messages, masks), None
 
 
 def _bss_bwd(holder, _, g):
@@ -297,7 +304,3 @@ def _bss_bwd(holder, _, g):
 
 
 _blocked_segment_sum_impl.defvjp(_bss_fwd, _bss_bwd)
-
-
-def _blocked_segment_sum(messages, summer, receivers):
-  return _blocked_segment_sum_impl(messages, _SummerHolder(summer), receivers)

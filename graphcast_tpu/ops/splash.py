@@ -168,13 +168,24 @@ def _fwd_kernel(kv_index, kv_count, q_ref, k_ref, v_ref, mask_ref,
     lse_ref[0] = m_scr[:, :1] + jnp.log(l_safe)
 
 
-def _fwd(q, k, v, block_map, block_q, block_kv, scale, interpret):
-  """q,k,v: [bh, n_pad, d] (already padded). Returns (o, lse)."""
+def _fwd(q, k, v, block_map, block_q, block_kv, scale, interpret,
+         statics=None):
+  """q,k,v: [bh, n_pad, d] (already padded). Returns (o, lse).
+  ``statics``: optional device arrays {kv_index, kv_count, mask_blocks}
+  threaded as jit args (the bitpacked masks are ~65 MB at 0.25°/mesh-6 and
+  would otherwise inline into the HLO once per transformer layer)."""
   bh, n_q_pad, d = q.shape
   nq, ma = block_map["nq"], block_map["ma"]
-  kv_index = jnp.asarray(block_map["kv_index"])
-  kv_count = jnp.asarray(block_map["kv_count"])
-  mask_blocks = jnp.asarray(block_map["mask_blocks"])
+  st = statics or {}
+  kv_index = st.get("kv_index")
+  if kv_index is None:
+    kv_index = jnp.asarray(block_map["kv_index"])
+  kv_count = st.get("kv_count")
+  if kv_count is None:
+    kv_count = jnp.asarray(block_map["kv_count"])
+  mask_blocks = st.get("mask_blocks")
+  if mask_blocks is None:
+    mask_blocks = jnp.asarray(block_map["mask_blocks"])
 
   grid = (bh, nq, ma)
   kernel = functools.partial(_fwd_kernel, scale=scale, ma=ma)
@@ -450,8 +461,16 @@ class BlockSparseAttention:
     m = self._map
     return float(m["kv_count"].sum()) / (m["nq"] * m["nkv"])
 
-  def __call__(self, q, k, v, scale: Optional[float] = None):
-    """q,k,v: [batch, n, heads, head_dim] → [batch, n, heads, head_dim]."""
+  def host_statics(self):
+    """Forward-path index/mask numpy arrays for threading as jit args
+    (e.g. via a model's graph_statics) instead of HLO constants."""
+    m = self._map
+    return {"kv_index": m["kv_index"], "kv_count": m["kv_count"],
+            "mask_blocks": m["mask_blocks"]}
+
+  def __call__(self, q, k, v, scale: Optional[float] = None, statics=None):
+    """q,k,v: [batch, n, heads, head_dim] → [batch, n, heads, head_dim].
+    ``statics``: optional device-array dict (see :meth:`host_statics`)."""
     interpret = self._interpret
     if interpret is None:
       interpret = jax.default_backend() != "tpu"
@@ -469,7 +488,8 @@ class BlockSparseAttention:
     qb = to_bh(q, m["n_q_pad"])
     kb = to_bh(k, m["n_kv_pad"])
     vb = to_bh(v, m["n_kv_pad"])
-    ob = _attend(qb, kb, vb, self._map_static(), float(scale), interpret)
+    ob = _attend(qb, kb, vb, statics, self._map_static(), float(scale),
+                 interpret)
     ob = ob[:, :n].reshape(batch, heads, n, d)
     return jnp.swapaxes(ob, 1, 2)
 
@@ -576,16 +596,16 @@ class _MapHolder:
             and other.block_kv_bwd == self.block_kv_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def _attend(q, k, v, holder, scale, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _attend(q, k, v, statics, holder, scale, interpret):
   o, _ = _fwd(q, k, v, holder.map, holder.block_q, holder.block_kv, scale,
-              interpret)
+              interpret, statics)
   return o
 
 
-def _attend_fwd(q, k, v, holder, scale, interpret):
+def _attend_fwd(q, k, v, statics, holder, scale, interpret):
   o, lse = _fwd(q, k, v, holder.map, holder.block_q, holder.block_kv, scale,
-                interpret)
+                interpret, statics)
   return o, (q, k, v, o, lse)
 
 
@@ -598,7 +618,7 @@ def _attend_bwd(holder, scale, interpret, residuals, do):
   dq = _repad(dq, n, holder.map["n_q_pad"])
   dk = _repad(dk, n, holder.map["n_kv_pad"])
   dv = _repad(dv, n, holder.map["n_kv_pad"])
-  return dq, dk, dv
+  return dq, dk, dv, None
 
 
 _attend.defvjp(_attend_fwd, _attend_bwd)

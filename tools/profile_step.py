@@ -94,7 +94,7 @@ def main():
   def run_decode(p, c, m, g, i):
     st = gc._statics(p)
     if gc._m2g_decoder is not None and "m2g_const_slot" in c:
-      out = gc._run_mesh2grid_fused(p, seeded(i, m), g,
+      out = gc._run_mesh2grid_fused(p, st, seeded(i, m), g,
                                     c["m2g_const_slot"])
     else:
       out = gc._run_mesh2grid_chunked(
