@@ -236,6 +236,8 @@ class DenoiserArchitecture:
     if self._m2g_decoder is not None:
       for k, v in self._m2g_decoder.host_layout().items():
         statics[f"m2g_dec_{k}"] = v
+      statics["m2g_dec_ef_slot"] = self._m2g_decoder.host_slot_features(
+          statics["m2g_edge_features"])
     if (self._mesh_transformer is not None
         and self._cfg.sparse_transformer_config.attention_type
         == "splash_mha"):
@@ -512,25 +514,6 @@ class DenoiserArchitecture:
     c = co.shape[-1] // 2
     return co[0, :c] + 1.0, co[0, c:]
 
-  def _static_edge_norm(self, p_embed, spec, edge_features, num_chunks,
-                        dtype):
-    """Parameter-free-LN(embed-MLP(edge_feats)): the conditioning-
-    independent part of the conditioned edge embeds. Constant across
-    denoiser evals — XLA hoists it out of the sampler's fori_loop as a
-    loop invariant. The conditioning enters later as
-    embed = en·s_e + o_e ⇒ embed @ We = en @ (s_e[:,None]·We) + o_e@We,
-    folded into the kernels' We'/b0'. Returns [E_padded, 1, latent]."""
-    e_feats = edge_features.astype(dtype)
-    total = e_feats.shape[0]
-    k = self._choose_chunks(total, num_chunks)
-    e_feats = e_feats.reshape(k, total // k, -1)
-
-    def chunk_fn(e_feat):
-      x = spec._mlp.apply(p_embed["mlp"], _add_batch_second_axis(e_feat, 1))
-      return spec._ln.apply({}, x)  # param-free LN under conditioning
-
-    return jax.lax.map(chunk_fn, e_feats).reshape(total, 1, -1)
-
   def _run_grid2mesh_fused(self, params, statics, grid_node_features, cond):
     """Conditioned grid2mesh encode via the aggregation-only FusedEdgeStep
     (see models/graphcast.py:_run_grid2mesh_fused; here the edge matmul
@@ -567,21 +550,25 @@ class DenoiserArchitecture:
     b0 = pe["mlp"]["linear_0"]["b"].astype(dtype)
     we, ws, wr = w0[:latent], w0[latent:2 * latent], w0[2 * latent:]
 
-    en = self._static_edge_norm(
-        p["encoder_edges_grid2mesh"], specs["encoder_edges_grid2mesh"],
-        statics["g2m_edge_features"], max(self._encode_chunks, 8), dtype)
     s_e, o_e = self._nc_vectors(p["encoder_edges_grid2mesh"], cond, dtype)
     we_eff = s_e[:, None] * we
     b0_eff = o_e @ we + b0
     s1, o1 = self._nc_vectors(pe, cond, dtype)
+    pee = p["encoder_edges_grid2mesh"]["mlp"]
 
-    from graphcast_tpu.models.graphcast import _agg_masks, _dec_layout
+    from graphcast_tpu.models.graphcast import _agg_masks
     gs = (grid_emb[:, 0] @ ws)[statics["g2m_senders"]]
     gr_pad = self._g2m_fused.pad_nodes(mesh_emb[:, 0] @ wr)
+    # Raw edge features go straight into the kernel; the embed MLP +
+    # parameter-free LN run per chunk in VMEM, so no [1.6M, latent]
+    # embedded-edge constant occupies HBM (it OOMed the 16 GB chip when
+    # hoisted at 0.25°).
     agg = self._g2m_fused(
-        en[:, 0], gs, gr_pad, we_eff, b0_eff,
+        statics["g2m_edge_features"], gs, gr_pad, we_eff, b0_eff,
         pe["mlp"]["linear_1"]["w"], pe["mlp"]["linear_1"]["b"], s1, o1,
-        masks=_agg_masks(statics, "g2m"))
+        masks=_agg_masks(statics, "g2m"),
+        embed_weights=(pee["linear_0"]["w"], pee["linear_0"]["b"],
+                       pee["linear_1"]["w"], pee["linear_1"]["b"]))
     if gnn.aggregate_normalization:
       agg = agg / gnn.aggregate_normalization
     agg = agg.astype(dtype)[:, None]
@@ -618,10 +605,7 @@ class DenoiserArchitecture:
     b0 = pe["mlp"]["linear_0"]["b"].astype(dtype)
     we, ws, wr = w0[:latent], w0[latent:2 * latent], w0[2 * latent:]
 
-    en = self._static_edge_norm(
-        p["encoder_edges_mesh2grid"], specs["encoder_edges_mesh2grid"],
-        statics["m2g_edge_features"], max(self._decode_chunks, 8), dtype)
-    const_slot = dec.rearrange_edge_array(en[:, 0])
+    const_slot = statics["m2g_dec_ef_slot"]
     s_e, o_e = self._nc_vectors(p["encoder_edges_mesh2grid"], cond, dtype)
     es, eo = self._nc_vectors(pe, cond, dtype)
     pn = p["processor_0_nodes_grid_nodes"]
@@ -630,7 +614,10 @@ class DenoiserArchitecture:
     pd = p["decoder_nodes_grid_nodes"]
     wd1 = pd["mlp"]["linear_1"]["w"]
     bd1 = pd["mlp"]["linear_1"]["b"]
+    pee = p["encoder_edges_mesh2grid"]["mlp"]
     weights = {
+        "ew0": pee["linear_0"]["w"], "eb0": pee["linear_0"]["b"],
+        "ew1": pee["linear_1"]["w"], "eb1": pee["linear_1"]["b"],
         "we": s_e[:, None] * we,
         "b0": o_e @ we + b0,
         "wr": wr,

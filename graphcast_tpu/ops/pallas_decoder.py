@@ -66,9 +66,18 @@ def _mm(a, b):
                              preferred_element_type=jnp.float32)
 
 
-def _decoder_kernel(*refs, compact, bn, edge_matmul):
+def _decoder_kernel(*refs, compact, bn, edge_matmul, embed):
   it = iter(refs)
   const_ref = next(it)
+  if embed:
+    # const rows are the RAW structural edge features ([3, bn, F], F ≈ 8):
+    # the embed MLP + parameter-free LN run in-kernel, so the [3.1M, 512]
+    # embedded-edge constant never exists in HBM (it alone is ~3.2 GB at
+    # 0.25° and OOMed the 16 GB chip when hoisted).
+    ew0_ref = next(it)
+    eb0_ref = next(it)
+    ew1_ref = next(it)
+    eb1_ref = next(it)
   if edge_matmul:
     # const rows are pre-first-layer edge latents (e.g. the static
     # parameter-free-LN embeds of a norm-conditioned model); We'/b0'
@@ -96,7 +105,17 @@ def _decoder_kernel(*refs, compact, bn, edge_matmul):
 
   agg = jnp.zeros_like(gproj)
   for j in range(3):
-    if edge_matmul:
+    if embed:
+      x = _mm(const_ref[j], ew0_ref[:]) + eb0_ref[0][None].astype(
+          jnp.float32)
+      hh = _swish(x.astype(g.dtype))
+      y = _mm(hh, ew1_ref[:]) + eb1_ref[0][None].astype(jnp.float32)
+      mean = jnp.mean(y, axis=-1, keepdims=True)
+      var = jnp.mean(jnp.square(y - mean), axis=-1, keepdims=True)
+      en = ((y - mean) * jax.lax.rsqrt(var + LN_EPS)).astype(g.dtype)
+      x0 = _mm(en, we_ref[:])
+      x0 += b0_ref[0][None].astype(jnp.float32)
+    elif edge_matmul:
       x0 = _mm(const_ref[j], we_ref[:])
       x0 += b0_ref[0][None].astype(jnp.float32)
     else:
@@ -196,6 +215,15 @@ class FusedMesh2GridDecoder:
       self.compact_ids = cid
       self.compact_masks = masks
 
+  def host_slot_features(self, per_edge: np.ndarray) -> np.ndarray:
+    """Numpy [3*num_grid, F] receiver-sorted → [3, padded_grid, F]
+    slot-major (for embed-in-kernel raw features in graph_statics)."""
+    per_edge = np.asarray(per_edge)
+    x = per_edge.reshape(self.num_grid, 3, -1).transpose(1, 0, 2)
+    pad = np.zeros((3, self.padded_grid - self.num_grid, x.shape[-1]),
+                   x.dtype)
+    return np.concatenate([x, pad], axis=1)
+
   def rearrange_edge_array(self, per_edge):
     """[3*num_grid, ...] receiver-sorted edge array → [3, padded_grid, ...]
     slot-major (jnp ops; run once per rollout for the hoisted const)."""
@@ -281,21 +309,34 @@ class FusedMesh2GridDecoder:
 
     w = {k: v for k, v in weights.items()}
     edge_matmul = "we" in w
+    embed = "ew0" in w
+    if embed and not edge_matmul:
+      raise ValueError("embed_in_kernel requires we/b0 (edge_matmul)")
+    F = const_slot.shape[-1]
     em_specs = []
     em_args = []
+    if embed:
+      em_specs += [
+          pl.BlockSpec((F, C), lambda i: (0, 0)),            # ew0
+          pl.BlockSpec((1, C), lambda i: (0, 0)),            # eb0
+          pl.BlockSpec((C, C), lambda i: (0, 0)),            # ew1
+          pl.BlockSpec((1, C), lambda i: (0, 0)),            # eb1
+      ]
+      em_args += [w["ew0"].astype(dtype), w["eb0"].reshape(1, C).astype(dtype),
+                  w["ew1"].astype(dtype), w["eb1"].reshape(1, C).astype(dtype)]
     if edge_matmul:
-      em_specs = [
+      em_specs += [
           pl.BlockSpec((C, C), lambda i: (0, 0)),            # we
           pl.BlockSpec((1, C), lambda i: (0, 0)),            # b0
       ]
-      em_args = [w["we"].astype(dtype), w["b0"].reshape(1, C).astype(dtype)]
+      em_args += [w["we"].astype(dtype), w["b0"].reshape(1, C).astype(dtype)]
     kernel = functools.partial(_decoder_kernel, compact=self.compact, bn=bn,
-                               edge_matmul=edge_matmul)
+                               edge_matmul=edge_matmul, embed=embed)
     out = pl.pallas_call(
         kernel,
         grid=(nb,),
         in_specs=[
-            pl.BlockSpec((3, bn, C), lambda i: (0, i, 0)),   # const
+            pl.BlockSpec((3, bn, F), lambda i: (0, i, 0)),   # const / ef
         ] + em_specs + gather_specs + [
             pl.BlockSpec((bn, C), lambda i: (i, 0)),         # grid
             pl.BlockSpec((C, C), lambda i: (0, 0)),          # wr
@@ -352,7 +393,16 @@ class FusedMesh2GridDecoder:
 
     agg = jnp.zeros_like(gproj)
     for j in range(3):
-      if "we" in w:
+      if "ew0" in w:
+        x = const[j].astype(dtype).astype(jnp.float32) @ w["ew0"]
+        x += w["eb0"][None]
+        hh = swish(x)
+        y = hh.astype(jnp.float32) @ w["ew1"] + w["eb1"][None]
+        mean = jnp.mean(y, axis=-1, keepdims=True)
+        var = jnp.mean(jnp.square(y - mean), axis=-1, keepdims=True)
+        en = ((y - mean) * jax.lax.rsqrt(var + LN_EPS)).astype(dtype)
+        x0 = en.astype(jnp.float32) @ w["we"] + w["b0"][None] + gs[j] + gproj
+      elif "we" in w:
         x0 = const[j].astype(dtype).astype(jnp.float32) @ w["we"]
         x0 += w["b0"][None] + gs[j] + gproj
       else:

@@ -51,7 +51,7 @@ def _swish(x):
 
 
 def _fused_edge_kernel(block_of, first_of, *refs, cs, bn, has_we,
-                       write_eout):
+                       write_eout, embed):
   c = pl.program_id(0)
   it = iter(refs)
   e_ref = next(it)
@@ -59,6 +59,13 @@ def _fused_edge_kernel(block_of, first_of, *refs, cs, bn, has_we,
   maskt_ref = next(it)
   mask_ref = next(it)
   gr_ref = next(it)
+  if embed:
+    # e rows are RAW edge features [cs, F]: embed MLP + parameter-free LN
+    # run in-kernel (no [E, latent] embedded constant in HBM).
+    ew0_ref = next(it)
+    eb0_ref = next(it)
+    ew1_ref = next(it)
+    eb1_ref = next(it)
   if has_we:
     we_ref = next(it)
     b0_ref = next(it)
@@ -73,7 +80,20 @@ def _fused_edge_kernel(block_of, first_of, *refs, cs, bn, has_we,
   def _init():
     agg_ref[:] = jnp.zeros_like(agg_ref)
 
-  e = e_ref[:]                                   # [cs, C]
+  e = e_ref[:]                                   # [cs, C] (or [cs, F])
+  if embed:
+    x = jax.lax.dot_general(
+        e, ew0_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    x += eb0_ref[0][None].astype(jnp.float32)
+    hh = _swish(x.astype(gs_ref.dtype))
+    y0 = jax.lax.dot_general(
+        hh, ew1_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    y0 += eb1_ref[0][None].astype(jnp.float32)
+    emean = jnp.mean(y0, axis=-1, keepdims=True)
+    evar = jnp.mean(jnp.square(y0 - emean), axis=-1, keepdims=True)
+    e = ((y0 - emean) * jax.lax.rsqrt(evar + LN_EPS)).astype(gs_ref.dtype)
   if has_we:
     x0 = jax.lax.dot_general(
         e, we_ref[:], (((1,), (0,)), ((), ())),
@@ -189,7 +209,7 @@ class FusedEdgeStep:
     return self.mask, self.mask_t
 
   def __call__(self, e_pad, gs, gr_pad, we, b0, w1, b1, scale, offset,
-               masks=None):
+               masks=None, embed_weights=None):
     """One fused edge step.
 
     Args:
@@ -205,6 +225,10 @@ class FusedEdgeStep:
       masks: optional (mask, mask_t) DEVICE arrays (see :meth:`host_masks`)
         — pass as jit args so the bitpacked masks (tens of MB at 0.25°) do
         not inline into the HLO. Default: inline constants.
+      embed_weights: optional (ew0, eb0, ew1, eb1) — run the edge-embed MLP
+        + parameter-free LN in-kernel on RAW features (e_pad then holds
+        [L, F] features), so the [E, latent] embedded constant never
+        occupies HBM. Requires include_edge_matmul.
 
     Returns:
       (e_out [L, C] = e + y, agg [num_nodes, C] f32 sums of y), or just
@@ -213,31 +237,36 @@ class FusedEdgeStep:
     if not self.include_edge_matmul:
       we = jnp.zeros((0,)) if we is None else we
       b0 = jnp.zeros((0,)) if b0 is None else b0
+    if embed_weights is not None and not self.include_edge_matmul:
+      raise ValueError("embed_in_kernel requires include_edge_matmul")
     return _fused_edge_step(e_pad, gs, gr_pad, we, b0, w1, b1, scale, offset,
-                            masks, _StepHolder(self), self._interpret)
+                            masks, embed_weights, _StepHolder(self),
+                            self._interpret)
 
   # --- implementations ---
 
   def _forward(self, e_pad, gs, gr_pad, we, b0, w1, b1, scale, offset,
-               masks, interpret):
+               masks, embed_weights, interpret):
     s = self._summer
     cs, bn = s.chunk_edges, s.block_nodes
     tc, nb = s.total_chunks, s.num_node_blocks
-    L, C = e_pad.shape
+    L, F = e_pad.shape
+    C = gs.shape[-1]
     if L != s.layout_length:
       raise ValueError(f"expected {s.layout_length} padded rows, got {L}")
     if interpret is None:
       interpret = jax.default_backend() != "tpu"
-    dtype = e_pad.dtype
+    dtype = gs.dtype
 
     def row(x):  # [C] params → [1, C] blocks
       return x.reshape(1, C)
 
     kernel = functools.partial(
         _fused_edge_kernel, cs=cs, bn=bn,
-        has_we=self.include_edge_matmul, write_eout=self.write_edges)
+        has_we=self.include_edge_matmul, write_eout=self.write_edges,
+        embed=embed_weights is not None)
     in_specs = [
-        pl.BlockSpec((cs, C), lambda c, bo, fo: (c, 0)),       # e
+        pl.BlockSpec((cs, F), lambda c, bo, fo: (c, 0)),       # e / ef
         pl.BlockSpec((cs, C), lambda c, bo, fo: (c, 0)),       # gs
         pl.BlockSpec((1, cs, bn // 32),
                      lambda c, bo, fo: (c, 0, 0)),             # maskt
@@ -249,7 +278,17 @@ class FusedEdgeStep:
       mask, mask_t = jnp.asarray(self.mask), jnp.asarray(self.mask_t)
     else:
       mask, mask_t = masks
-    args = [e_pad, gs.astype(dtype), mask_t, mask, gr_pad.astype(dtype)]
+    args = [e_pad.astype(dtype), gs.astype(dtype), mask_t, mask,
+            gr_pad.astype(dtype)]
+    if embed_weights is not None:
+      ew0, eb0, ew1, eb1 = embed_weights
+      in_specs += [
+          pl.BlockSpec((F, C), lambda c, bo, fo: (0, 0)),      # ew0
+          pl.BlockSpec((1, C), lambda c, bo, fo: (0, 0)),      # eb0
+          pl.BlockSpec((C, C), lambda c, bo, fo: (0, 0)),      # ew1
+          pl.BlockSpec((1, C), lambda c, bo, fo: (0, 0)),      # eb1
+      ]
+      args += [ew0.astype(dtype), row(eb0), ew1.astype(dtype), row(eb1)]
     if self.include_edge_matmul:
       in_specs += [
           pl.BlockSpec((C, C), lambda c, bo, fo: (0, 0)),      # we
@@ -289,14 +328,26 @@ class FusedEdgeStep:
     return agg[:s.num_nodes]
 
   def _reference_math(self, e_pad, gs, gr_pad, we, b0, w1, b1, scale,
-                      offset):
+                      offset, embed_weights=None):
     """The same pipeline in plain XLA (used by the VJP; also the ground
     truth in tests)."""
     s = self._summer
+    dtype = gs.dtype
     glob = jnp.asarray(self.glob_recv_rows)
     zero = jnp.zeros((1, gr_pad.shape[-1]), gr_pad.dtype)
     gr_rows = jnp.concatenate([gr_pad, zero], axis=0)[
         jnp.minimum(glob, gr_pad.shape[0])]
+    if embed_weights is not None:
+      ew0, eb0, ew1, eb1 = embed_weights
+      x = (e_pad.astype(dtype).astype(jnp.float32)
+           @ ew0.astype(dtype).astype(jnp.float32)
+           + eb0.astype(dtype).astype(jnp.float32)[None])
+      hh = _swish(x.astype(dtype))
+      y0 = (hh.astype(jnp.float32) @ ew1.astype(dtype).astype(jnp.float32)
+            + eb1.astype(dtype).astype(jnp.float32)[None])
+      emean = jnp.mean(y0, axis=-1, keepdims=True)
+      evar = jnp.mean(jnp.square(y0 - emean), axis=-1, keepdims=True)
+      e_pad = ((y0 - emean) * jax.lax.rsqrt(evar + LN_EPS)).astype(dtype)
     if self.include_edge_matmul:
       x0 = (e_pad.astype(jnp.float32) @ we.astype(jnp.float32)
             + gs.astype(jnp.float32) + gr_rows.astype(jnp.float32)
@@ -304,7 +355,7 @@ class FusedEdgeStep:
     else:
       x0 = (e_pad.astype(jnp.float32) + gs.astype(jnp.float32)
             + gr_rows.astype(jnp.float32))
-    h = _swish(x0.astype(e_pad.dtype))
+    h = _swish(x0.astype(dtype))
     y = h.astype(jnp.float32) @ w1.astype(jnp.float32)
     y = y + b1.astype(jnp.float32)[None]
     mean = jnp.mean(y, axis=-1, keepdims=True)
@@ -313,11 +364,11 @@ class FusedEdgeStep:
     yn = yn * scale.astype(jnp.float32)[None]
     yn = yn + offset.astype(jnp.float32)[None]
     agg = jax.ops.segment_sum(
-        yn.astype(e_pad.dtype).astype(jnp.float32), glob,
+        yn.astype(dtype).astype(jnp.float32), glob,
         num_segments=s.num_node_blocks * s.block_nodes + 1)
     if not self.write_edges:
       return agg[:s.num_nodes]
-    eout = (e_pad.astype(jnp.float32) + yn).astype(e_pad.dtype)
+    eout = (e_pad.astype(jnp.float32) + yn).astype(dtype)
     return eout, agg[:s.num_nodes]
 
 
@@ -334,28 +385,33 @@ class _StepHolder:
     return isinstance(other, _StepHolder) and other.step is self.step
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12))
 def _fused_edge_step(e_pad, gs, gr_pad, we, b0, w1, b1, scale, offset,
-                     masks, holder, interpret):
+                     masks, embed_weights, holder, interpret):
   return holder.step._forward(e_pad, gs, gr_pad, we, b0, w1, b1, scale,
-                              offset, masks, interpret)
+                              offset, masks, embed_weights, interpret)
 
 
 def _fes_fwd(e_pad, gs, gr_pad, we, b0, w1, b1, scale, offset, masks,
-             holder, interpret):
+             embed_weights, holder, interpret):
   out = holder.step._forward(e_pad, gs, gr_pad, we, b0, w1, b1, scale,
-                             offset, masks, interpret)
-  return out, (e_pad, gs, gr_pad, we, b0, w1, b1, scale, offset)
+                             offset, masks, embed_weights, interpret)
+  return out, (e_pad, gs, gr_pad, we, b0, w1, b1, scale, offset,
+               embed_weights)
 
 
 def _fes_bwd(holder, interpret, residuals, grads):
   # Exact backward via XLA autodiff of the reference math (recompute).
   del interpret
-  e_pad, gs, gr_pad, we, b0, w1, b1, scale, offset = residuals
+  (e_pad, gs, gr_pad, we, b0, w1, b1, scale, offset,
+   embed_weights) = residuals
   _, vjp = jax.vjp(
       lambda *args: holder.step._reference_math(*args),
-      e_pad, gs, gr_pad, we, b0, w1, b1, scale, offset)
-  return vjp(grads) + (None,)
+      e_pad, gs, gr_pad, we, b0, w1, b1, scale, offset, embed_weights)
+  g = vjp(grads)
+  # Cotangent order must match the primal args: ..., masks (int arrays →
+  # None), embed_weights.
+  return g[:9] + (None, g[9])
 
 
 _fused_edge_step.defvjp(_fes_fwd, _fes_bwd)
