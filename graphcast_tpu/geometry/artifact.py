@@ -97,6 +97,7 @@ def build_artifact(
     mesh2grid_edge_normalization_factor: Optional[float] = None,
     multimesh: bool = True,
     permute_banded: bool = False,
+    spatial_permutation: bool = True,
     cache_dir: Optional[str] = None,
     backend: str = "auto",
 ) -> GridMeshArtifact:
@@ -116,6 +117,13 @@ def build_artifact(
       Reverse-Cuthill-McKee so its adjacency matrix is banded — required by
       the block-sparse attention processor (reference: denoiser.py:833-851).
       Only valid with multimesh=False.
+    spatial_permutation: (multimesh only) reorder mesh-node ids with RCM on
+      the finest-level adjacency so consecutive ids are spatially adjacent.
+      The refinement construction leaves vertex ids spatially scattered, so
+      every mesh-side gather/scatter at 0.25° reads randomly across the
+      whole node table (~19-36 ns/row measured); a spatially coherent order
+      turns these into narrow-moving-window accesses. Model outputs are
+      permutation-invariant (up to f32 summation order).
     cache_dir: disk cache directory; default env GRAPHCAST_TPU_CACHE or
       ~/.cache/graphcast_tpu. Pass "" to disable caching.
     backend: connectivity backend — "auto" (native C++ if built, else
@@ -135,14 +143,29 @@ def build_artifact(
   cache_path = _cache_path(
       cache_dir, grid_lat, grid_lon, mesh_size,
       radius_query_fraction_edge_length, mesh2grid_edge_normalization_factor,
-      (multimesh, permute_banded, backend))
+      (multimesh, permute_banded, spatial_permutation, backend))
   if cache_path is not None and cache_path.exists():
     return _load(cache_path, mesh_size, grid_lat, grid_lon)
 
   meshes = icosahedron.get_mesh_hierarchy(mesh_size)
   finest = meshes[-1]
+  processor_faces = (icosahedron.merge_meshes(meshes).faces if multimesh
+                     else None)
   if permute_banded:
     finest = permute_mesh_to_banded(finest)
+  elif multimesh and spatial_permutation:
+    # Spatially coherent ids (see docstring). RCM on the finest-level
+    # adjacency; the merged multi-mesh faces are remapped with the same
+    # permutation (coarse-level faces index finest vertices).
+    s0, r0 = icosahedron.faces_to_edges(finest.faces)
+    n = finest.vertices.shape[0]
+    perm = rcm_permutation(s0, r0, n)
+    inverse = np.empty(n, dtype=np.int32)
+    inverse[perm] = np.arange(n, dtype=np.int32)
+    finest = icosahedron.TriangularMesh(
+        vertices=finest.vertices[perm],
+        faces=inverse[finest.faces].astype(np.int32))
+    processor_faces = inverse[processor_faces].astype(np.int32)
   mesh_phi, mesh_theta = features.cartesian_to_spherical(
       finest.vertices[:, 0], finest.vertices[:, 1], finest.vertices[:, 2])
   mesh_lat, mesh_lon = features.spherical_to_lat_lon(mesh_phi, mesh_theta)
@@ -166,7 +189,9 @@ def build_artifact(
   grid2mesh = _sorted_edges(g2m_grid, g2m_mesh, g2m_edge_feats)
 
   # --- mesh processor edges (multi-mesh or finest) ---
-  processor_mesh = icosahedron.merge_meshes(meshes) if multimesh else finest
+  processor_mesh = (icosahedron.TriangularMesh(
+      vertices=finest.vertices, faces=processor_faces) if multimesh
+                    else finest)
   m_send, m_recv = icosahedron.faces_to_edges(processor_mesh.faces)
   _, mesh_edge_feats = features.graph_spatial_features(
       mesh_lat, mesh_lon, m_send, m_recv)
@@ -232,7 +257,7 @@ def rcm_permutation(senders: np.ndarray, receivers: np.ndarray,
 
 # --- disk cache ---
 
-_CACHE_VERSION = 1
+_CACHE_VERSION = 2  # v2: spatial mesh-node permutation for multimesh
 
 
 def _cache_path(cache_dir, grid_lat, grid_lon, mesh_size, fraction,

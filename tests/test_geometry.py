@@ -212,3 +212,81 @@ def test_backend_pinned_in_cache_key(tmp_path):
 
   with pytest.raises(ValueError):
     connectivity.resolve_backend("cuda")
+
+
+def test_spatial_permutation_preserves_graph_semantics():
+  """The multimesh spatial (RCM) node reordering must not change the graph
+  as seen from the grid: per-grid-node mesh2grid sender positions/features
+  identical, and model outputs invariant."""
+  import functools
+  import numpy as np
+  from graphcast_tpu.geometry import artifact as artifact_lib
+
+  lat = np.arange(-90.0, 91.0, 30.0)
+  lon = np.arange(0.0, 360.0, 30.0)
+  kw = dict(grid_lat=lat, grid_lon=lon, mesh_size=2,
+            radius_query_fraction_edge_length=0.6, multimesh=True,
+            cache_dir="")
+  a_on = artifact_lib.build_artifact(spatial_permutation=True, **kw)
+  a_off = artifact_lib.build_artifact(spatial_permutation=False, **kw)
+
+  assert a_on.mesh.senders.shape == a_off.mesh.senders.shape
+  assert a_on.grid2mesh.senders.shape == a_off.grid2mesh.senders.shape
+  # Same vertex set, different order.
+  v_on = np.sort(a_on.mesh_vertices.round(6).view([('', a_on.mesh_vertices.dtype)] * 3), axis=0)
+  v_off = np.sort(a_off.mesh_vertices.round(6).view([('', a_off.mesh_vertices.dtype)] * 3), axis=0)
+  assert np.array_equal(v_on, v_off)
+
+  # mesh2grid: per grid receiver, the (sorted) edge-feature rows match.
+  def rows_by_receiver(art):
+    out = {}
+    for i in range(art.num_grid_nodes):
+      f = art.mesh2grid.features[3 * i:3 * i + 3]
+      out[i] = np.sort(f.round(5), axis=0)
+    return out
+  r_on, r_off = rows_by_receiver(a_on), rows_by_receiver(a_off)
+  for i in range(a_on.num_grid_nodes):
+    np.testing.assert_allclose(r_on[i], r_off[i], rtol=1e-4, atol=1e-5)
+
+
+def test_spatial_permutation_model_invariance(monkeypatch):
+  """GraphCast outputs are invariant to the mesh-node ordering."""
+  import functools
+  import jax
+  import numpy as np
+  from graphcast_tpu import train
+  from graphcast_tpu.data import synthetic
+  from graphcast_tpu.geometry import artifact as artifact_lib
+  from graphcast_tpu.models import configs
+  from graphcast_tpu.models import graphcast as graphcast_mod
+
+  task = configs.TaskConfig(
+      input_variables=("2m_temperature", "temperature",
+                       "toa_incident_solar_radiation", "land_sea_mask"),
+      target_variables=("2m_temperature", "temperature"),
+      forcing_variables=("toa_incident_solar_radiation",),
+      pressure_levels=(500, 850),
+      input_duration="12h")
+  model = configs.ModelConfig(
+      resolution=30.0, mesh_size=2, latent_size=16, gnn_msg_steps=2,
+      hidden_layers=1, radius_query_fraction_edge_length=0.6)
+  inputs, targets, forcings = synthetic.make_example_batch(
+      task, resolution=30.0, batch=1)
+  rng = jax.random.PRNGKey(0)
+
+  m_on = graphcast_mod.GraphCast(model, task, cache_dir="")
+  params = m_on.init(rng, inputs, targets, forcings)
+  out_on = m_on(params, rng, inputs, targets, forcings)
+
+  orig = artifact_lib.build_artifact
+  monkeypatch.setattr(
+      artifact_lib, "build_artifact",
+      functools.partial(orig, spatial_permutation=False))
+  m_off = graphcast_mod.GraphCast(model, task, cache_dir="")
+  learned, _ = train.partition_params(params)
+  params_off = m_off.attach_graph_statics(dict(learned), inputs)
+  out_off = m_off(params_off, rng, inputs, targets, forcings)
+  for n in targets.var_names:
+    np.testing.assert_allclose(
+        np.asarray(out_off.data(n)), np.asarray(out_on.data(n)),
+        rtol=2e-4, atol=2e-4)
