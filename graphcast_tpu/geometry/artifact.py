@@ -97,7 +97,7 @@ def build_artifact(
     mesh2grid_edge_normalization_factor: Optional[float] = None,
     multimesh: bool = True,
     permute_banded: bool = False,
-    spatial_permutation: bool = True,
+    spatial_permutation: bool = False,
     cache_dir: Optional[str] = None,
     backend: str = "auto",
 ) -> GridMeshArtifact:
@@ -117,13 +117,13 @@ def build_artifact(
       Reverse-Cuthill-McKee so its adjacency matrix is banded — required by
       the block-sparse attention processor (reference: denoiser.py:833-851).
       Only valid with multimesh=False.
-    spatial_permutation: (multimesh only) reorder mesh-node ids with RCM on
-      the finest-level adjacency so consecutive ids are spatially adjacent.
-      The refinement construction leaves vertex ids spatially scattered, so
-      every mesh-side gather/scatter at 0.25° reads randomly across the
-      whole node table (~19-36 ns/row measured); a spatially coherent order
-      turns these into narrow-moving-window accesses. Model outputs are
-      permutation-invariant (up to f32 summation order).
+    spatial_permutation: (multimesh only) reorder mesh-node ids with RCM
+      on the finest-level adjacency so consecutive ids are spatially
+      adjacent. Measured at 0.25°/mesh-6: NO gather speedup (TPU row
+      gathers are per-row dispatch-bound, ~14.5 ns/row regardless of
+      locality) and the reorder unbalances per-block in-degrees (+14%
+      padded-layout expansion), so the default is OFF; kept as an option
+      with invariance tests for future layout experiments.
     cache_dir: disk cache directory; default env GRAPHCAST_TPU_CACHE or
       ~/.cache/graphcast_tpu. Pass "" to disable caching.
     backend: connectivity backend — "auto" (native C++ if built, else
