@@ -436,8 +436,8 @@ class DenoiserArchitecture:
           x.astype(jnp.float32), r_local, num_segments=max_n,
           indices_are_sorted=True)
 
-    aggs = jax.lax.map(encode_chunk, (e_feats, senders, receivers,
-                                      local_recv))
+    aggs = jax.lax.map(jax.checkpoint(encode_chunk),
+                       (e_feats, senders, receivers, local_recv))
     agg = aggs.reshape(k * max_n, batch, latent)[statics["g2m_node_gather"]]
     if gnn.aggregate_normalization:
       agg = agg / gnn.aggregate_normalization
@@ -499,7 +499,8 @@ class DenoiserArchitecture:
       n_res = grid_chunk + n_upd
       return dec_spec.apply(p["decoder_nodes_grid_nodes"], n_res)
 
-    out = jax.lax.map(decode_chunk, (grid_chunks, e_feats, senders))
+    out = jax.lax.map(jax.checkpoint(decode_chunk),
+                      (grid_chunks, e_feats, senders))
     return out.reshape(g_total, batch, -1)
 
   # --- fused Pallas paths (batch 1; conditioning folded into vectors) ---

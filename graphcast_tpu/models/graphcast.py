@@ -61,7 +61,8 @@ class GraphCast(Predictor):
                cache_dir: Optional[str] = None,
                decode_chunks: int = 1,
                encode_chunks: int = 1,
-               fused_aggregation: Optional[bool] = None):
+               fused_aggregation: Optional[bool] = None,
+               remat_processor: bool = False):
     """decode_chunks > 1 runs the mesh2grid decoder in sequential chunks of
     grid nodes (exactly equivalent math), bounding peak HBM: at 0.25° the
     decoder's 3.1M-edge buffers dominate memory, and chunking lets the full
@@ -103,7 +104,8 @@ class GraphCast(Predictor):
         num_message_passing_steps=model_config.gnn_msg_steps,
         use_layer_norm=True,
         activation="swish",
-        f32_aggregation=False)
+        f32_aggregation=False,
+        remat_steps=remat_processor)
 
     # Decoder (reference: graphcast.py:304-321).
     self._mesh2grid_gnn = DeepGraphNet(
@@ -488,8 +490,11 @@ class GraphCast(Predictor):
           indices_are_sorted=True)
 
     lead = first_layer if first_layer is not None else e_feats
-    aggs = jax.lax.map(encode_chunk, (lead, senders, receivers,
-                                      local_recv))  # [k, max_n, B, latent]
+    # Remat per chunk: without this, lax.map saves every chunk's edge
+    # intermediates as residuals and the 0.25° backward needs >100 GB.
+    aggs = jax.lax.map(jax.checkpoint(encode_chunk),
+                       (lead, senders, receivers,
+                        local_recv))  # [k, max_n, B, latent]
     agg = aggs.reshape(k * max_n, batch, latent)[statics["g2m_node_gather"]]
     if gnn.aggregate_normalization:
       agg = agg / gnn.aggregate_normalization
@@ -594,7 +599,9 @@ class GraphCast(Predictor):
       n_res = grid_chunk + n_upd
       return dec_spec.apply(p["decoder_nodes_grid_nodes"], n_res)
 
-    out = jax.lax.map(decode_chunk, (grid_chunks, lead, senders))
+    # Remat per chunk (see _run_grid2mesh_chunked).
+    out = jax.lax.map(jax.checkpoint(decode_chunk),
+                      (grid_chunks, lead, senders))
     return out.reshape(g_total, batch, -1)
 
   # ----- fully-fused grid2mesh encode (Pallas, batch-1 fast path) -----

@@ -57,6 +57,11 @@ class DeepGraphNet:
   # ops.pallas_mp.BlockedSegmentSum); falls back to segment_sum when absent
   # or when shapes don't fit the kernel (batch > 1).
   edge_aggregators: Optional[Mapping[str, object]] = None
+  # Rematerialize each processor step under grad (jax.checkpoint): the
+  # backward recomputes a step's edge/node MLP intermediates from the step
+  # inputs instead of saving them (~1.5 GB/step at 0.25°/mesh-6 × 16 steps
+  # unsaved). Enable for training big configs; free for inference.
+  remat_steps: bool = False
   # Optional per-edge-set fully-fused processor steps
   # (ops.pallas_edge.FusedEdgeStep): the entire edge-MLP + LayerNorm +
   # residual + aggregation in one Pallas pass. Engages only for
@@ -236,30 +241,54 @@ class DeepGraphNet:
 
     edge_fn_builder = factored_fn if self.factored_edge_updates else fn
     fused_step = self._fused_step_target(graph)
-    for _ in range(self.num_processor_repetitions):
-      for i in range(self.num_message_passing_steps):
-        if fused_step is not None:
-          graph = self._apply_fused_step(params, graph, i, specs, fused_step,
-                                         kernel_statics)
-          continue
-        prev = graph
-        graph = mp.apply_graph_network(
-            graph,
-            update_edge_fn={n: edge_fn_builder(f"processor_{i}_edges_{n}")
-                            for n in self.edge_latent_size},
-            update_node_fn={n: fn(f"processor_{i}_nodes_{n}")
-                            for n in self.node_latent_size},
-            aggregate_edges_for_nodes_fn=aggregate,
-            include_sent_messages_in_node_update=(
-                self.include_sent_messages_in_node_update),
-            factored_edge_fns=self.factored_edge_updates)
-        graph = graph._replace(
-            nodes={k: ns._replace(
-                features=prev.nodes[k].features + ns.features)
-                   for k, ns in graph.nodes.items()},
-            edges={k: es._replace(
-                features=prev.edges[k].features + es.features)
-                   for k, es in graph.edges.items()})
+
+    def one_step(graph, i):
+      if fused_step is not None:
+        return self._apply_fused_step(params, graph, i, specs, fused_step,
+                                      kernel_statics)
+      prev = graph
+      graph = mp.apply_graph_network(
+          graph,
+          update_edge_fn={n: edge_fn_builder(f"processor_{i}_edges_{n}")
+                          for n in self.edge_latent_size},
+          update_node_fn={n: fn(f"processor_{i}_nodes_{n}")
+                          for n in self.node_latent_size},
+          aggregate_edges_for_nodes_fn=aggregate,
+          include_sent_messages_in_node_update=(
+              self.include_sent_messages_in_node_update),
+          factored_edge_fns=self.factored_edge_updates)
+      return graph._replace(
+          nodes={k: ns._replace(
+              features=prev.nodes[k].features + ns.features)
+                 for k, ns in graph.nodes.items()},
+          edges={k: es._replace(
+              features=prev.edges[k].features + es.features)
+                 for k, es in graph.edges.items()})
+
+    if self.remat_steps:
+      # Two-level (√N-blocked) checkpointing: only every B-th step boundary
+      # is saved (B ≈ √num_steps); the backward replays a block (with
+      # per-step inner remat) before differentiating it. At 0.25°/mesh-6
+      # this keeps ~4 instead of 16 [330k, 512] boundary tensors resident.
+      inner = jax.checkpoint(one_step, static_argnums=(1,))
+      block = max(1, int(round(self.num_message_passing_steps ** 0.5)))
+
+      def block_fn(graph, i0, n):
+        for j in range(n):
+          graph = inner(graph, i0 + j)
+        return graph
+
+      block_fn = jax.checkpoint(block_fn, static_argnums=(1, 2))
+      for _ in range(self.num_processor_repetitions):
+        i = 0
+        while i < self.num_message_passing_steps:
+          n = min(block, self.num_message_passing_steps - i)
+          graph = block_fn(graph, i, n)
+          i += n
+    else:
+      for _ in range(self.num_processor_repetitions):
+        for i in range(self.num_message_passing_steps):
+          graph = one_step(graph, i)
 
     # 4. Decode.
     graph = mp.apply_graph_map_features(

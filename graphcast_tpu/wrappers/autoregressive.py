@@ -184,7 +184,9 @@ class Autoregressive(WrapperPredictor):
   def loss(self, params, rng, inputs, targets, forcings, **kwargs):
     if targets.sizes["time"] == 1:
       # Delegate directly; no AR feedback needed
-      # (reference: autoregressive.py:231-236).
+      # (reference: autoregressive.py:231-236). NB an outer jax.checkpoint
+      # here was measured to INCREASE peak HBM at 0.25° (26.7 vs 20.6 GB) —
+      # the chunk-level remat inside the model is what bounds memory.
       return self._predictor.loss(params, rng, inputs, targets, forcings,
                                   **kwargs)
     (loss, diagnostics), _ = self._loss_scan(

@@ -1,0 +1,82 @@
+"""One 0.25°/37-level GraphCast training step (loss + grads + AdamW) on a
+single 16 GB chip.
+
+1-step AR loss (the curriculum's first stage), bf16 activations via the
+Bfloat16Cast wrapper, f32 master params, AdamW. The reference defers
+training entirely to external JAXline and gives no single-chip training
+recipe at this resolution. Rig rules: readback-forced timing, varied
+inputs, everything as jit args.
+"""
+
+import os
+import time
+
+import numpy as np
+
+
+def main():
+  import jax
+  import jax.numpy as jnp
+  cache = os.path.join(os.path.expanduser("~"), ".cache", "graphcast_tpu",
+                       "xla_cache")
+  jax.config.update("jax_compilation_cache_dir", cache)
+  jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+
+  from graphcast_tpu import train
+  from graphcast_tpu.data import synthetic
+  from graphcast_tpu.models import configs
+  from graphcast_tpu.models.graphcast import GraphCast
+  from graphcast_tpu.wrappers import (
+      Autoregressive, Bfloat16Cast, InputsAndResiduals)
+
+  task = configs.TASK
+  model = configs.ModelConfig(
+      resolution=0.25, mesh_size=6, latent_size=512, gnn_msg_steps=16,
+      hidden_layers=1, radius_query_fraction_edge_length=0.6)
+  stddev, mean, diffs = synthetic.make_norm_stats(task)
+  predictor = Autoregressive(
+      InputsAndResiduals(
+          Bfloat16Cast(GraphCast(model, task, decode_chunks=64,
+                                 encode_chunks=50,
+                                 # Chunked paths for training: the fused
+                                 # kernels' VJP recomputes the unfused math
+                                 # (100 GB at 0.25°); lax.map chunking keeps
+                                 # the backward memory-scoped.
+                                 fused_aggregation=False,
+                                 remat_processor=True)),
+          stddev_by_level=stddev, mean_by_level=mean,
+          diffs_stddev_by_level=diffs),
+      gradient_checkpointing=True)
+
+  inputs, targets, forcings = synthetic.make_example_batch(
+      task, resolution=0.25, batch=1, num_target_times=1)
+  rng = jax.random.PRNGKey(0)
+  optimizer = train.graphcast_optimizer(peak_lr=1e-3)
+  state = train.init_train_state(predictor, optimizer, rng, inputs, targets,
+                                 forcings)
+  step_fn = train.make_train_step(predictor, optimizer)
+  inputs = inputs.astype(jnp.bfloat16)
+  targets = targets.astype(jnp.bfloat16)
+  forcings = forcings.astype(jnp.bfloat16)
+  state, inputs, targets, forcings = jax.device_put(
+      (state, inputs, targets, forcings))
+
+  t0 = time.perf_counter()
+  state, loss, _ = step_fn(state, rng, inputs, targets, forcings)
+  loss0 = float(loss)
+  compile_s = time.perf_counter() - t0
+  assert np.isfinite(loss0), "non-finite training loss"
+  times = []
+  for i in range(3):
+    r = jax.random.PRNGKey(i + 1)
+    t0 = time.perf_counter()
+    state, loss, _ = step_fn(state, r, inputs, targets, forcings)
+    float(loss)  # forced readback
+    times.append(time.perf_counter() - t0)
+  print(f"train_step_0.25deg: {min(times):.3f} s "
+        f"(compile+first {compile_s:.1f}s, loss0={loss0:.4f}, "
+        f"all {[round(t, 3) for t in times]})")
+
+
+if __name__ == "__main__":
+  main()
