@@ -9,12 +9,14 @@ inputs, everything as jit args.
 """
 
 import os
+import sys
 import time
 
 import numpy as np
 
 
 def main():
+  ar_steps = int(sys.argv[1]) if len(sys.argv) > 1 else 1
   import jax
   import jax.numpy as jnp
   cache = os.path.join(os.path.expanduser("~"), ".cache", "graphcast_tpu",
@@ -49,7 +51,7 @@ def main():
       gradient_checkpointing=True)
 
   inputs, targets, forcings = synthetic.make_example_batch(
-      task, resolution=0.25, batch=1, num_target_times=1)
+      task, resolution=0.25, batch=1, num_target_times=ar_steps)
   rng = jax.random.PRNGKey(0)
   optimizer = train.graphcast_optimizer(peak_lr=1e-3)
   state = train.init_train_state(predictor, optimizer, rng, inputs, targets,
@@ -73,7 +75,7 @@ def main():
     state, loss, _ = step_fn(state, r, inputs, targets, forcings)
     float(loss)  # forced readback
     times.append(time.perf_counter() - t0)
-  print(f"train_step_0.25deg: {min(times):.3f} s "
+  print(f"train_step_0.25deg_ar{ar_steps}: {min(times):.3f} s "
         f"(compile+first {compile_s:.1f}s, loss0={loss0:.4f}, "
         f"all {[round(t, 3) for t in times]})")
 
