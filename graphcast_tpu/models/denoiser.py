@@ -233,6 +233,15 @@ class DenoiserArchitecture:
       # models/graphcast.py:_host_statics.
       statics["g2m_agg_mask"], statics["g2m_agg_mask_t"] = (
           s.onehot_masks())
+    elif self._g2m_plan is not None:
+      plan = self._g2m_plan
+      statics["g2m_senders"] = plan.pad_edge_array(statics["g2m_senders"])
+      statics["g2m_receivers"] = plan.pad_edge_array(
+          statics["g2m_receivers"])
+      statics["g2m_edge_features"] = plan.pad_edge_array(
+          statics["g2m_edge_features"])
+      statics["g2m_local_receivers"] = plan.local_receivers
+      statics["g2m_node_gather"] = plan.node_gather
     if self._m2g_decoder is not None:
       for k, v in self._m2g_decoder.host_layout().items():
         statics[f"m2g_dec_{k}"] = v
@@ -243,15 +252,6 @@ class DenoiserArchitecture:
         == "splash_mha"):
       for k, v in self._mesh_transformer.host_kernel_statics().items():
         statics[f"splash_{k}"] = v
-    elif self._g2m_plan is not None:
-      plan = self._g2m_plan
-      statics["g2m_senders"] = plan.pad_edge_array(statics["g2m_senders"])
-      statics["g2m_receivers"] = plan.pad_edge_array(
-          statics["g2m_receivers"])
-      statics["g2m_edge_features"] = plan.pad_edge_array(
-          statics["g2m_edge_features"])
-      statics["g2m_local_receivers"] = plan.local_receivers
-      statics["g2m_node_gather"] = plan.node_gather
     return statics
 
   def _statics(self, params) -> dict:

@@ -371,12 +371,19 @@ class Transformer:
     nc = core.NormConditioning(cond_size, cfg.d_model)
     cond = global_norm_conditioning[:, None]  # [batch, 1, cond]
 
-    for i in range(cfg.num_layers):
-      p = params[f"block_{i:02d}"]
+    def block_fn(x, p, ks):
       h = nc.apply(p["norm_conditioning"], ln.apply({}, x), cond)
-      x = x + self._attend(p, h, kernel_statics)
+      x = x + self._attend(p, h, ks)
       h = nc.apply(p["norm_conditioning_1"], ln.apply({}, x), cond)
-      x = x + self._ffw(p, h)
+      return x + self._ffw(p, h)
+
+    # Remat per block: free under pure inference (no grad), and under grad
+    # it drops each block's attention/ffw residuals (~0.4 GB/layer at
+    # 0.25°/mesh-6) keeping only the [nodes, d_model] block inputs — what
+    # fits the GenCast training step on a 16 GB chip.
+    block_fn = jax.checkpoint(block_fn)
+    for i in range(cfg.num_layers):
+      x = block_fn(x, params[f"block_{i:02d}"], kernel_statics)
 
     return nc.apply(params["final_norm_conditioning"], ln.apply({}, x), cond)
 

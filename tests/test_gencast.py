@@ -224,3 +224,25 @@ def test_denoiser_fused_kernels_match_full():
       fused.loss(p, rng, inputs, targets, forcings)[0]))(params_fused)
   leaves = jax.tree_util.tree_leaves(g)
   assert all(np.isfinite(np.asarray(x)).all() for x in leaves)
+
+
+def test_denoiser_chunked_with_splash_matches_full():
+  """Chunked GNN paths combined with splash attention (the combination that
+  once lost the balanced-chunk statics padding to an if/elif chain bug)."""
+  full = tiny_gencast(attention_type="splash_mha")
+  chunked = tiny_gencast(attention_type="splash_mha")
+  chunked._denoiser._architecture._encode_chunks = 4
+  chunked._denoiser._architecture._decode_chunks = 4
+  inputs, targets, forcings = make_batch(batch=1)
+  rng = jax.random.PRNGKey(0)
+  params = full.init(rng, inputs, targets, forcings)
+  s_full = full(params, rng, inputs, targets, forcings)
+  params_chunk = dict(params)
+  params_chunk["architecture"] = {
+      k: v for k, v in params["architecture"].items()
+      if k != "graph_statics"}
+  s_chunk = chunked(params_chunk, rng, inputs, targets, forcings)
+  for n in targets.var_names:
+    np.testing.assert_allclose(
+        np.asarray(s_chunk.data(n)), np.asarray(s_full.data(n)),
+        rtol=3e-4, atol=3e-4)
