@@ -190,7 +190,8 @@ class DenoiserArchitecture:
     fused = self._fused_aggregation
     if fused is None:
       fused = jax.default_backend() == "tpu"
-    if fused and self._g2m_summer is None and self._cfg.hidden_layers == 1:
+    if (fused and self._g2m_summer is None and self._m2g_decoder is None
+        and self._cfg.hidden_layers == 1):
       from graphcast_tpu.ops.pallas_decoder import FusedMesh2GridDecoder
       from graphcast_tpu.ops.pallas_edge import FusedEdgeStep
       from graphcast_tpu.ops.pallas_mp import BlockedSegmentSum

@@ -306,13 +306,17 @@ def _repad(x, n, n_pad):
                  + ((0, 0),) * (x.ndim - 2))
 
 
-def _bwd(q, k, v, o, lse, do, block_map, block_q, block_kv, scale, interpret):
+def _bwd(q, k, v, o, lse, do, block_map, block_q, block_kv, scale, interpret,
+         statics=None):
   """Backward kernels. May run on a block map built at different
   (block_q_dkv, block_kv_dkv) sizes than the forward (reference knobs:
   sparse_transformer.py:244-275); inputs arrive padded to the FORWARD map's
   sizes and are re-padded here if the backward map pads differently.
   Zero-padded rows are inert: their mask bits are False (p=0 with lse
-  re-padded to 0) and their do/delta are 0."""
+  re-padded to 0) and their do/delta are 0.
+  ``statics``: optional device arrays {kv_index, kv_count, mask_blocks,
+  q_index, q_count, mask_blocks_t} for THIS map, threaded as jit args so the
+  bitpacked masks don't inline as HLO constants under jax.grad (rig rule 8)."""
   n = block_map["n"]
   q = _repad(q, n, block_map["n_q_pad"])
   o = _repad(o, n, block_map["n_q_pad"])
@@ -330,9 +334,16 @@ def _bwd(q, k, v, o, lse, do, block_map, block_q, block_kv, scale, interpret):
   lse_b = lse[..., None]      # [bh, n_q_pad, 1]
   delta_b = delta[..., None]  # [bh, n_q_pad, 1]
 
-  kv_index = jnp.asarray(block_map["kv_index"])
-  kv_count = jnp.asarray(block_map["kv_count"])
-  mask_blocks = jnp.asarray(block_map["mask_blocks"])
+  st = statics or {}
+  kv_index = st.get("kv_index")
+  if kv_index is None:
+    kv_index = jnp.asarray(block_map["kv_index"])
+  kv_count = st.get("kv_count")
+  if kv_count is None:
+    kv_count = jnp.asarray(block_map["kv_count"])
+  mask_blocks = st.get("mask_blocks")
+  if mask_blocks is None:
+    mask_blocks = jnp.asarray(block_map["mask_blocks"])
 
   dq = pl.pallas_call(
       functools.partial(_dq_kernel, scale=scale, ma=ma),
@@ -363,9 +374,15 @@ def _bwd(q, k, v, o, lse, do, block_map, block_q, block_kv, scale, interpret):
       interpret=interpret,
   )(kv_index, kv_count, q, k, v, mask_blocks, do, lse_b, delta_b)
 
-  q_index = jnp.asarray(block_map["q_index"])
-  q_count = jnp.asarray(block_map["q_count"])
-  mask_blocks_t = jnp.asarray(block_map["mask_blocks_t"])
+  q_index = st.get("q_index")
+  if q_index is None:
+    q_index = jnp.asarray(block_map["q_index"])
+  q_count = st.get("q_count")
+  if q_count is None:
+    q_count = jnp.asarray(block_map["q_count"])
+  mask_blocks_t = st.get("mask_blocks_t")
+  if mask_blocks_t is None:
+    mask_blocks_t = jnp.asarray(block_map["mask_blocks_t"])
 
   dk, dv = pl.pallas_call(
       functools.partial(_dkv_kernel, scale=scale, mat=mat),
@@ -462,11 +479,25 @@ class BlockSparseAttention:
     return float(m["kv_count"].sum()) / (m["nq"] * m["nkv"])
 
   def host_statics(self):
-    """Forward-path index/mask numpy arrays for threading as jit args
-    (e.g. via a model's graph_statics) instead of HLO constants."""
+    """Index/mask numpy arrays for threading as jit args (e.g. via a
+    model's graph_statics) instead of HLO constants. Covers the forward
+    kernel AND both backward kernels (the dkv transposed maps, plus the
+    separate backward map when block_q_dkv/block_kv_dkv differ), so
+    jax.grad through the attention inlines no large constants either."""
     m = self._map
-    return {"kv_index": m["kv_index"], "kv_count": m["kv_count"],
-            "mask_blocks": m["mask_blocks"]}
+    out = {"kv_index": m["kv_index"], "kv_count": m["kv_count"],
+           "mask_blocks": m["mask_blocks"]}
+    bm = self._bwd_map
+    out["bwd_q_index"] = bm["q_index"]
+    out["bwd_q_count"] = bm["q_count"]
+    out["bwd_mask_blocks_t"] = bm["mask_blocks_t"]
+    if bm is not self._map:
+      # Distinct backward block sizes: the dq kernel needs the backward
+      # map's own q→kv arrays too (otherwise it reuses the forward ones).
+      out["bwd_kv_index"] = bm["kv_index"]
+      out["bwd_kv_count"] = bm["kv_count"]
+      out["bwd_mask_blocks"] = bm["mask_blocks"]
+    return out
 
   def __call__(self, q, k, v, scale: Optional[float] = None, statics=None):
     """q,k,v: [batch, n, heads, head_dim] → [batch, n, heads, head_dim].
@@ -606,13 +637,31 @@ def _attend(q, k, v, statics, holder, scale, interpret):
 def _attend_fwd(q, k, v, statics, holder, scale, interpret):
   o, lse = _fwd(q, k, v, holder.map, holder.block_q, holder.block_kv, scale,
                 interpret, statics)
-  return o, (q, k, v, o, lse)
+  return o, (q, k, v, o, lse, statics)
 
 
 def _attend_bwd(holder, scale, interpret, residuals, do):
-  q, k, v, o, lse = residuals
+  q, k, v, o, lse, statics = residuals
+  bwd_statics = None
+  if statics:
+    # Resolve the backward map's arrays out of the threaded statics (see
+    # host_statics): explicit bwd_* keys win; when the backward map IS the
+    # forward map, the forward q→kv arrays are reused for the dq kernel.
+    same = holder.bwd_map is holder.map
+    bwd_statics = {}
+    for name in ("kv_index", "kv_count", "mask_blocks"):
+      val = statics.get("bwd_" + name)
+      if val is None and same:
+        val = statics.get(name)
+      if val is not None:
+        bwd_statics[name] = val
+    for name in ("q_index", "q_count", "mask_blocks_t"):
+      val = statics.get("bwd_" + name)
+      if val is not None:
+        bwd_statics[name] = val
   dq, dk, dv = _bwd(q, k, v, o, lse, do, holder.bwd_map, holder.block_q_bwd,
-                    holder.block_kv_bwd, scale, interpret)
+                    holder.block_kv_bwd, scale, interpret,
+                    statics=bwd_statics)
   # Grads must match the primal (forward-padded) shapes.
   n = holder.map["n"]
   dq = _repad(dq, n, holder.map["n_q_pad"])

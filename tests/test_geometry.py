@@ -274,11 +274,16 @@ def test_spatial_permutation_model_invariance(monkeypatch):
       task, resolution=30.0, batch=1)
   rng = jax.random.PRNGKey(0)
 
+  orig = artifact_lib.build_artifact
+  # Force the permutation ON for the first model so on-vs-off orderings are
+  # genuinely compared (build_artifact defaults to spatial_permutation=False).
+  monkeypatch.setattr(
+      artifact_lib, "build_artifact",
+      functools.partial(orig, spatial_permutation=True))
   m_on = graphcast_mod.GraphCast(model, task, cache_dir="")
   params = m_on.init(rng, inputs, targets, forcings)
   out_on = m_on(params, rng, inputs, targets, forcings)
 
-  orig = artifact_lib.build_artifact
   monkeypatch.setattr(
       artifact_lib, "build_artifact",
       functools.partial(orig, spatial_permutation=False))

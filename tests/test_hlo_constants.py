@@ -58,6 +58,40 @@ def test_graphcast_fused_step_consts_small():
   assert not big, f"large inline constants leaked into the HLO: {big}"
 
 
+def test_splash_grad_consts_small():
+  """jax.grad through splash must not inline the backward block maps.
+
+  The _dq/_dkv kernels once re-embedded kv_index/mask_blocks (and the
+  transposed dkv maps) via jnp.asarray even when the forward statics were
+  threaded — tens of MB of bitpacked masks per big config (rig rule 8).
+  Uses distinct backward block sizes so the separate bwd map is exercised.
+  """
+  import scipy.sparse as sp
+  from graphcast_tpu.ops.splash import BlockSparseAttention
+
+  n = 1024
+  rng = np.random.RandomState(0)
+  ij = np.abs(np.arange(n)[:, None] - np.arange(n)[None, :])
+  mask = sp.csr_matrix((ij < 96) | (rng.rand(n, n) < 0.01))
+  attn = BlockSparseAttention.from_mask(
+      mask, block_q=128, block_kv=128, interpret=True,
+      block_q_dkv=256, block_kv_dkv=256)
+  statics = {k: jnp.asarray(v) for k, v in attn.host_statics().items()}
+  assert "bwd_mask_blocks_t" in statics and "bwd_mask_blocks" in statics
+
+  q = jnp.asarray(rng.randn(1, n, 1, 128), jnp.float32)
+  k = jnp.asarray(rng.randn(1, n, 1, 128), jnp.float32)
+  v = jnp.asarray(rng.randn(1, n, 1, 128), jnp.float32)
+
+  def loss(q, k, v, statics):
+    return jnp.sum(attn(q, k, v, statics=statics))
+
+  jaxpr = jax.make_jaxpr(jax.grad(loss, argnums=(0, 1, 2)))(q, k, v, statics)
+  # Threshold below any single bitpacked map (~128-512 KB here).
+  big = [s for s in _largest_consts(jaxpr) if s[0] > (64 << 10)]
+  assert not big, f"large inline constants leaked into the grad HLO: {big}"
+
+
 def test_gencast_fused_step_consts_small():
   from graphcast_tpu.models import gencast
   from graphcast_tpu.models.denoiser import (
