@@ -982,3 +982,135 @@ def test_fine_mesh_vertex_sets_match_reference(splits):
   our_mesh = ours.get_mesh_hierarchy(splits)[-1]
   assert ref_mesh.vertices.shape == our_mesh.vertices.shape
   _vertex_bijection(our_mesh.vertices, ref_mesh.vertices)
+
+
+# ---------------------------------------------------------------------------
+# Channel stacking: fields.to_stacked / from_stacked vs the reference's own
+# model_utils.dataset_to_stacked / stacked_to_dataset (model_utils.py:626-720)
+# executed against tests/fake_xarray (the same technique the solar-radiation
+# golden test uses). The sorted-variable channel order is load-bearing for
+# checkpoint compatibility; this pins it to the reference function itself.
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache()
+def _ref_model_utils():
+  from tests import fake_xarray
+  fake_xarray.install_if_missing()
+  if REFERENCE_PATH not in sys.path:
+    sys.path.insert(0, REFERENCE_PATH)
+  from graphcast import model_utils as ref_mu
+  return ref_mu
+
+
+def _mixed_stack_case():
+  """Mixed surface/level/static/1-D variables, insertion order unsorted."""
+  rs = np.random.RandomState(7)
+  b, t, lev, lat, lon = 2, 3, 4, 5, 6
+  arrays = {
+      "zz_surface": rs.randn(b, t, lat, lon).astype(np.float32),
+      "aa_levels": rs.randn(b, t, lev, lat, lon).astype(np.float32),
+      "mm_static": rs.randn(lat, lon).astype(np.float32),
+      "bb_lat_only": rs.randn(lat).astype(np.float32),
+  }
+  dims = {
+      "zz_surface": ("batch", "time", "lat", "lon"),
+      "aa_levels": ("batch", "time", "level", "lat", "lon"),
+      "mm_static": ("lat", "lon"),
+      "bb_lat_only": ("lat",),
+  }
+  return arrays, dims, dict(batch=b, time=t, level=lev, lat=lat, lon=lon)
+
+
+def _as_ref_dataset(arrays, dims):
+  from tests import fake_xarray
+  xr = fake_xarray.install_if_missing()
+  return xr.Dataset(
+      {k: xr.DataArray(v, dims=dims[k]) for k, v in arrays.items()},
+      coords={})
+
+
+def _as_fieldset(arrays, dims):
+  from graphcast_tpu import fields as fields_lib
+  return fields_lib.FieldSet(
+      {k: fields_lib.Field(jnp.asarray(v), dims[k])
+       for k, v in arrays.items()})
+
+
+def test_to_stacked_matches_reference_dataset_to_stacked():
+  from graphcast_tpu import fields as fields_lib
+  ref_mu = _ref_model_utils()
+  arrays, dims, sizes = _mixed_stack_case()
+
+  ref_stacked = ref_mu.dataset_to_stacked(
+      _as_ref_dataset(arrays, dims), sizes=sizes)
+  assert ref_stacked.dims == ("batch", "lat", "lon", "channels")
+
+  ours = fields_lib.to_stacked(_as_fieldset(arrays, dims), sizes=sizes)
+  np.testing.assert_array_equal(np.asarray(ours), ref_stacked.data)
+
+  # The order is a property of sorted names, not insertion order: a reversed
+  # insertion order must produce the identical stacked array.
+  rev = {k: arrays[k] for k in reversed(list(arrays))}
+  ours_rev = fields_lib.to_stacked(_as_fieldset(rev, dims), sizes=sizes)
+  np.testing.assert_array_equal(np.asarray(ours_rev), ref_stacked.data)
+
+  # Mutation check: an *unsorted* channel order is actually different data
+  # (guards against this test passing vacuously on symmetric inputs).
+  parts = [fields_lib.field_to_stacked(
+      fields_lib.Field(jnp.asarray(arrays[k]), dims[k]), sizes)
+      for k in rev]  # reversed == unsorted
+  mutated = jnp.concatenate(parts, axis=-1)
+  assert not np.array_equal(np.asarray(mutated), ref_stacked.data)
+
+
+def test_from_stacked_matches_reference_stacked_to_dataset():
+  """Inverse round-trip: both unstackers recover the same variables from the
+  same stacked array (template vars all carry the preserved dims, as the
+  reference requires: model_utils.py:691-696)."""
+  from graphcast_tpu import fields as fields_lib
+  ref_mu = _ref_model_utils()
+  from tests import fake_xarray
+  xr = fake_xarray.install_if_missing()
+
+  rs = np.random.RandomState(11)
+  b, t, lev, lat, lon = 2, 2, 3, 4, 5
+  arrays = {
+      "tt_sfc": rs.randn(b, t, lat, lon).astype(np.float32),
+      "cc_lvl": rs.randn(b, t, lev, lat, lon).astype(np.float32),
+      "qq_flat": rs.randn(b, lat, lon).astype(np.float32),
+  }
+  dims = {
+      "tt_sfc": ("batch", "time", "lat", "lon"),
+      "cc_lvl": ("batch", "time", "level", "lat", "lon"),
+      "qq_flat": ("batch", "lat", "lon"),
+  }
+  sizes = dict(batch=b, time=t, level=lev, lat=lat, lon=lon)
+  fs = _as_fieldset(arrays, dims)
+  ds = _as_ref_dataset(arrays, dims)
+
+  stacked = fields_lib.to_stacked(fs, sizes=sizes)
+  ref_stacked = ref_mu.dataset_to_stacked(ds, sizes=sizes)
+  np.testing.assert_array_equal(np.asarray(stacked), ref_stacked.data)
+
+  ours_back = fields_lib.from_stacked(stacked, fs)
+  ref_back = ref_mu.stacked_to_dataset(
+      xr.Variable(("batch", "lat", "lon", "channels"), np.asarray(stacked)),
+      ds)
+  for name in arrays:
+    np.testing.assert_array_equal(
+        np.asarray(ours_back.data(name)), arrays[name])
+    assert ref_back[name].dims == dims[name]
+    np.testing.assert_array_equal(ref_back[name].data, arrays[name])
+    np.testing.assert_array_equal(
+        np.asarray(ours_back.data(name)), ref_back[name].data)
+
+
+def test_stacked_channel_count_matches_reference():
+  from graphcast_tpu import fields as fields_lib
+  ref_mu = _ref_model_utils()
+  arrays, dims, sizes = _mixed_stack_case()
+  ref_stacked = ref_mu.dataset_to_stacked(
+      _as_ref_dataset(arrays, dims), sizes=sizes)
+  assert fields_lib.stacked_channels(
+      _as_fieldset(arrays, dims)) == ref_stacked.sizes["channels"]
