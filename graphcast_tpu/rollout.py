@@ -79,6 +79,21 @@ def chunked_prediction_generator(
         f"{num_target_steps} target steps")
   num_chunks = num_target_steps // num_steps_per_chunk
   target_times = targets_template.coords.get("time")
+  # The chunked rollout re-uses the first chunk's time coordinates for every
+  # predictor call and re-stamps the yields, which is only correct for
+  # equispaced targets (reference: rollout.py:302-303).
+  if target_times is not None and len(np.atleast_1d(target_times)) > 1:
+    if np.unique(np.diff(np.atleast_1d(target_times))).size > 1:
+      raise ValueError(
+          "targets_template time coordinates must be evenly spaced for "
+          f"chunked prediction; got {target_times!r}")
+  # Wall-clock "datetime" coords differ per chunk and would retrace the
+  # predictor; strip them from everything the jitted function sees and
+  # re-stamp the yielded predictions (reference: rollout.py:283-293).
+  target_datetimes = targets_template.coords.get("datetime")
+  inputs = inputs.assign_coords(datetime=None)
+  targets_template = targets_template.assign_coords(datetime=None)
+  forcings = forcings.assign_coords(datetime=None)
 
   chunk_template = _strip_time(
       targets_template.isel(time=slice(0, num_steps_per_chunk)))
@@ -105,6 +120,10 @@ def chunked_prediction_generator(
     if target_times is not None:
       predictions = predictions.assign_coords(
           time=target_times[t0:t0 + num_steps_per_chunk])
+    if target_datetimes is not None:
+      predictions = predictions.assign_coords(
+          datetime=np.atleast_1d(target_datetimes)[
+              ..., t0:t0 + num_steps_per_chunk])
     yield predictions
 
 
@@ -126,6 +145,9 @@ def chunked_prediction(
   times = targets_template.coords.get("time")
   if times is not None:
     out = out.assign_coords(time=times)
+  datetimes = targets_template.coords.get("datetime")
+  if datetimes is not None:
+    out = out.assign_coords(datetime=datetimes)
   return out
 
 

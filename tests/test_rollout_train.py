@@ -146,3 +146,73 @@ def test_tensor_parallel_forward_matches():
     np.testing.assert_allclose(np.asarray(got.data(n)),
                                np.asarray(expected.data(n)),
                                rtol=2e-2, atol=2e-2)
+
+
+def test_chunked_prediction_rejects_uneven_target_times():
+  """Non-equispaced target times would be silently mis-stamped (the chunk
+  template re-uses the first chunk's coordinates) — must raise instead
+  (reference: rollout.py:302-303)."""
+  predictor, inputs, targets, forcings = build(num_targets=4, batch=1)
+  rng = jax.random.PRNGKey(0)
+  params = predictor.init(rng, inputs, targets, forcings)
+  bad_times = np.array([6, 12, 24, 48], dtype=np.int64)  # not equispaced
+  targets_bad = targets.assign_coords(time=bad_times)
+
+  def predictor_fn(rng, inputs, targets_template, forcings):
+    return predictor(params, rng, inputs, targets_template, forcings)
+
+  gen = rollout.chunked_prediction_generator(
+      predictor_fn, rng, inputs, targets_bad, forcings,
+      num_steps_per_chunk=2)
+  with np.testing.assert_raises_regex(ValueError, "evenly spaced"):
+    next(gen)
+
+
+def test_chunked_prediction_rejects_nondividing_chunk():
+  predictor, inputs, targets, forcings = build(num_targets=4, batch=1)
+  rng = jax.random.PRNGKey(0)
+  params = predictor.init(rng, inputs, targets, forcings)
+
+  def predictor_fn(rng, inputs, targets_template, forcings):
+    return predictor(params, rng, inputs, targets_template, forcings)
+
+  gen = rollout.chunked_prediction_generator(
+      predictor_fn, rng, inputs, targets, forcings, num_steps_per_chunk=3)
+  with np.testing.assert_raises_regex(ValueError, "divide"):
+    next(gen)
+
+
+def test_chunked_prediction_strips_and_restamps_datetime():
+  """Wall-clock datetime coords must not reach the jitted predictor (they
+  change every chunk and would retrace) but must be re-stamped on the
+  outputs (reference: rollout.py:283-293)."""
+  predictor, inputs, targets, forcings = build(num_targets=4, batch=1)
+  rng = jax.random.PRNGKey(0)
+  params = predictor.init(rng, inputs, targets, forcings)
+
+  datetimes = np.arange(
+      np.datetime64("2020-01-01T06"), np.datetime64("2020-01-02T06"),
+      np.timedelta64(6, "h"))
+  targets_dt = targets.assign_coords(datetime=datetimes)
+  inputs_dt = inputs.assign_coords(
+      datetime=datetimes[:2] - np.timedelta64(12, "h"))
+  forcings_dt = forcings.assign_coords(datetime=datetimes)
+
+  seen_coords = []
+
+  def predictor_fn(rng, inputs, targets_template, forcings):
+    for fs in (inputs, targets_template, forcings):
+      seen_coords.append(set(fs.coords))
+    return predictor(params, rng, inputs, targets_template, forcings)
+
+  chunks = list(rollout.chunked_prediction_generator(
+      predictor_fn, rng, inputs_dt, targets_dt, forcings_dt,
+      num_steps_per_chunk=2))
+  assert all("datetime" not in c for c in seen_coords)
+  np.testing.assert_array_equal(chunks[0].coords["datetime"], datetimes[:2])
+  np.testing.assert_array_equal(chunks[1].coords["datetime"], datetimes[2:])
+
+  out = rollout.chunked_prediction(
+      predictor_fn, rng, inputs_dt, targets_dt, forcings_dt,
+      num_steps_per_chunk=2)
+  np.testing.assert_array_equal(out.coords["datetime"], datetimes)
