@@ -114,7 +114,8 @@ class DenoiserArchitecture:
                interpret_attention: Optional[bool] = None,
                decode_chunks: int = 1,
                encode_chunks: int = 1,
-               fused_aggregation: Optional[bool] = None):
+               fused_aggregation: Optional[bool] = None,
+               sequence_parallel: Optional[tuple] = None):
     """decode_chunks / encode_chunks > 1 run the mesh2grid / mesh2grid GNNs
     in sequential chunks (exact math; see models/graphcast.py) — at 0.25°
     this fits the denoiser on a 16 GB chip where the reference needs 32 GB
@@ -122,13 +123,17 @@ class DenoiserArchitecture:
     engages the Pallas fused encoder/decoder kernels at batch 1, with the
     norm-conditioning folded into per-eval scale/offset vectors and the
     conditioning-independent part of the edge embeds (the parameter-free-LN
-    output) hoisted as a sampler-loop invariant."""
+    output) hoisted as a sampler-loop invariant. sequence_parallel, a
+    ``(jax.sharding.Mesh, axis_name)`` pair, shards the transformer's
+    mesh-node axis over that mesh axis (splash attention only; the
+    reference kernel's q_seq_shards knob, sparse_transformer.py:271-273)."""
     self._cfg = cfg
     self._cache_dir = cache_dir
     self._interpret_attention = interpret_attention
     self._decode_chunks = decode_chunks
     self._encode_chunks = encode_chunks
     self._fused_aggregation = fused_aggregation
+    self._sequence_parallel = sequence_parallel
     self._artifact: Optional[artifact_lib.GridMeshArtifact] = None
     self._mesh_transformer: Optional[MeshTransformer] = None
     self._g2m_plan = None
@@ -184,6 +189,9 @@ class DenoiserArchitecture:
           art.mesh.senders, art.mesh.receivers, art.num_mesh_nodes,
           self._cfg.sparse_transformer_config,
           interpret=self._interpret_attention)
+      if self._sequence_parallel is not None:
+        self._mesh_transformer.enable_sequence_parallel(
+            *self._sequence_parallel)
     if self._grid2mesh_gnn.norm_conditioning_size is None:
       self._grid2mesh_gnn.norm_conditioning_size = cond_size
       self._mesh2grid_gnn.norm_conditioning_size = cond_size
@@ -700,12 +708,14 @@ class Denoiser:
                interpret_attention: Optional[bool] = None,
                decode_chunks: int = 1,
                encode_chunks: int = 1,
-               fused_aggregation: Optional[bool] = None):
+               fused_aggregation: Optional[bool] = None,
+               sequence_parallel: Optional[tuple] = None):
     self._architecture = DenoiserArchitecture(
         architecture_config, cache_dir=cache_dir,
         interpret_attention=interpret_attention,
         decode_chunks=decode_chunks, encode_chunks=encode_chunks,
-        fused_aggregation=fused_aggregation)
+        fused_aggregation=fused_aggregation,
+        sequence_parallel=sequence_parallel)
     self._noise_encoder = FourierFeaturesMLP(
         noise_encoder_config or NoiseEncoderConfig())
 

@@ -109,7 +109,8 @@ class GenCast(Predictor):
                interpret_attention: Optional[bool] = None,
                decode_chunks: int = 1,
                encode_chunks: int = 1,
-               fused_aggregation: Optional[bool] = None):
+               fused_aggregation: Optional[bool] = None,
+               sequence_parallel: Optional[tuple] = None):
     num_outputs = configs.num_output_channels(task_config)
     denoiser_architecture_config = dataclasses.replace(
         denoiser_architecture_config, node_output_size=num_outputs)
@@ -117,7 +118,8 @@ class GenCast(Predictor):
         noise_encoder_config, denoiser_architecture_config,
         cache_dir=cache_dir, interpret_attention=interpret_attention,
         decode_chunks=decode_chunks, encode_chunks=encode_chunks,
-        fused_aggregation=fused_aggregation)
+        fused_aggregation=fused_aggregation,
+        sequence_parallel=sequence_parallel)
     self._sampler_config = sampler_config
     self._noise_config = noise_config
     self._task_config = task_config

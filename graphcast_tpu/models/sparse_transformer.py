@@ -255,6 +255,7 @@ class Transformer:
     mask = k_hop_adjacency_from_matrix(adjacency, cfg.attention_k_hop)
     self._num_nodes = mask.shape[0]
     self._interpret = interpret
+    self._splash_sp = None
     if cfg.attention_type == "mha":
       self._dense_mask = mask.toarray()
     elif cfg.attention_type == "triblockdiag_mha":
@@ -326,10 +327,23 @@ class Transformer:
 
   # ----- forward -----
 
+  def enable_sequence_parallel(self, mesh, axis: str):
+    """Shards the attention's node axis over ``mesh`` axis ``axis``
+    (splash backend only; reference knob q_seq_shards,
+    sparse_transformer.py:271-273). Re-thread kernel statics after calling
+    this (host_kernel_statics changes to the per-shard maps)."""
+    if self.cfg.attention_type != "splash_mha":
+      raise ValueError(
+          "sequence-parallel attention requires attention_type='splash_mha', "
+          f"got {self.cfg.attention_type!r}")
+    self._splash_sp = self._splash.sequence_parallel(mesh, axis)
+
   def host_kernel_statics(self):
     """Attention-kernel index/mask numpy arrays to thread as jit args
     (splash only; dense/triblock masks stay inline)."""
     if self.cfg.attention_type == "splash_mha":
+      if self._splash_sp is not None:
+        return self._splash_sp.host_statics()
       return self._splash.host_statics()
     return {}
 
@@ -346,8 +360,9 @@ class Transformer:
     q = _mh_linear(params["mha_proj_q"], x, cfg.num_heads, cfg.key_size)
     k = _mh_linear(params["mha_proj_k"], x, cfg.num_heads, cfg.key_size)
     v = _mh_linear(params["mha_proj_v"], x, cfg.num_heads, cfg.value_size)
-    out = self._splash(q, k, v, scale=cfg.key_size ** -0.5,
-                       statics=kernel_statics)
+    attend = self._splash_sp if self._splash_sp is not None else self._splash
+    out = attend(q, k, v, scale=cfg.key_size ** -0.5,
+                 statics=kernel_statics)
     out = out.reshape(out.shape[:-2] + (cfg.num_heads * cfg.value_size,))
     lin = core.Linear(cfg.num_heads * cfg.value_size, cfg.d_model)
     return lin.apply(params["mha_final"], out)

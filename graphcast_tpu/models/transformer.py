@@ -46,6 +46,10 @@ class MeshTransformer:
   def host_kernel_statics(self):
     return self._transformer.host_kernel_statics()
 
+  def enable_sequence_parallel(self, mesh, axis: str):
+    """Shards attention over the mesh-node axis (splash backend only)."""
+    self._transformer.enable_sequence_parallel(mesh, axis)
+
   def apply(self, params: core.Params, node_features,
             global_norm_conditioning, kernel_statics=None) -> jnp.ndarray:
     """node_features: [num_nodes, batch, d_model];

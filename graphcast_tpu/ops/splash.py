@@ -530,76 +530,102 @@ class BlockSparseAttention:
                       self._bwd_map, self._block_q_bwd, self._block_kv_bwd)
 
   def sequence_parallel(self, mesh, axis: str):
-    """Returns fn(q, k, v, scale) computing this attention with the q/node
-    axis sharded over ``mesh`` axis ``axis`` (the reference kernel's
-    q_seq_shards, sparse_transformer.py:271-273, which it never uses > 1).
+    """Returns a :class:`SequenceParallelAttention` computing this attention
+    with the q/node axis sharded over ``mesh`` axis ``axis`` (the reference
+    kernel's q_seq_shards, sparse_transformer.py:271-273, which it never
+    uses > 1). Callable like the attention itself; exposes ``host_statics``
+    so the per-shard maps/masks can ride in graph_statics as jit args."""
+    return SequenceParallelAttention(self, mesh, axis)
 
-    Each shard holds a contiguous range of q blocks plus replicated k/v;
-    the per-q-block scalar-prefetch maps and bitpacked masks shard along
-    the same axis. Forward and dq are communication-free; dk/dv partial
-    sums are reduced by shard_map's transpose (k/v enter replicated).
-    """
+
+class SequenceParallelAttention:
+  """Splash attention with the q/node axis sharded over a Mesh axis.
+
+  Each shard holds a contiguous range of q blocks plus replicated k/v;
+  the per-q-block scalar-prefetch maps and bitpacked masks shard along
+  the same axis. Forward and dq are communication-free; dk/dv partial
+  sums are reduced by shard_map's transpose (k/v enter replicated).
+  """
+
+  _STATIC_NAMES = ("kv_index", "kv_count", "mask_blocks",
+                   "q_index", "q_count", "mask_t")
+
+  def __init__(self, attn: "BlockSparseAttention", mesh, axis: str):
+    m = attn._map
+    S = int(mesh.shape[axis])
+    nq, nkv, ma = m["nq"], m["nkv"], m["ma"]
+    bq, bkv = attn._block_q, attn._block_kv
+    if nq % S:
+      raise ValueError(
+          f"{nq} q blocks do not divide over {S} '{axis}' shards; pick a "
+          f"block_q so the padded node count splits evenly")
+    nq_l = nq // S
+    q_index, q_count, mask_t, mat_l = _build_shard_transposed_maps(m, S)
+    self._statics = {
+        "kv_index": m["kv_index"].reshape(S, nq_l, ma),
+        "kv_count": m["kv_count"].reshape(S, nq_l),
+        "mask_blocks": m["mask_blocks"].reshape(S, nq_l * ma, bq, bkv // 32),
+        "q_index": q_index, "q_count": q_count, "mask_t": mask_t,
+    }
+    self._dims = _SpDims(nq_l, nkv, ma, mat_l, nq_l * bq, m["n_kv_pad"],
+                         bq, bkv)
+    self._mesh = mesh
+    self._axis = axis
+    self._map = m
+    interpret = attn._interpret
+    if interpret is None:
+      interpret = jax.default_backend() != "tpu"
+    self._interpret = interpret
+
+  def host_statics(self):
+    """Per-shard index/mask numpy arrays (leading dim = shard axis) to
+    thread as jit args instead of HLO constants (rig rule 8)."""
+    return dict(self._statics)
+
+  def __call__(self, q, k, v, scale: Optional[float] = None, statics=None):
     from jax.sharding import PartitionSpec as P
     try:
       from jax import shard_map
     except ImportError:  # older jax
       from jax.experimental.shard_map import shard_map
 
+    if scale is None:
+      scale = q.shape[-1] ** -0.5
+    scale = float(scale)
     m = self._map
-    S = int(mesh.shape[axis])
-    nq, nkv, ma = m["nq"], m["nkv"], m["ma"]
-    bq, bkv = self._block_q, self._block_kv
-    if nq % S:
-      raise ValueError(
-          f"{nq} q blocks do not divide over {S} '{axis}' shards; pick a "
-          f"block_q so the padded node count splits evenly")
-    nq_l = nq // S
-
-    kv_index = m["kv_index"].reshape(S, nq_l, ma)
-    kv_count = m["kv_count"].reshape(S, nq_l)
-    mask_blocks = m["mask_blocks"].reshape(S, nq_l * ma, bq, bkv // 32)
-    q_index, q_count, mask_t, mat_l = _build_shard_transposed_maps(m, S)
-    dims = _SpDims(nq_l, nkv, ma, mat_l, nq_l * bq, m["n_kv_pad"], bq, bkv)
-    interpret = self._interpret
-    if interpret is None:
-      interpret = jax.default_backend() != "tpu"
     n = m["n"]
+    dims, interpret, axis = self._dims, self._interpret, self._axis
+    batch, n_in, heads, d = q.shape
+    if n_in != n:
+      raise ValueError(f"mask built for {n} nodes, got {n_in}")
+    st = statics or {}
+    arrays = tuple(
+        st[name] if st.get(name) is not None
+        else jnp.asarray(self._statics[name])
+        for name in self._STATIC_NAMES)
 
-    def fn(q, k, v, scale=None):
-      if scale is None:
-        scale = q.shape[-1] ** -0.5
-      scale = float(scale)
-      batch, n_in, heads, d = q.shape
-      if n_in != n:
-        raise ValueError(f"mask built for {n} nodes, got {n_in}")
+    def local_fn(qb, kb, vb, kvi, kvc, mb, qi, qc, mbt):
+      return _attend_arrays(qb, kb, vb, kvi[0], kvc[0], mb[0], qi[0],
+                            qc[0], mbt[0], dims, scale, interpret)
 
-      def local_fn(qb, kb, vb, kvi, kvc, mb, qi, qc, mbt):
-        return _attend_arrays(qb, kb, vb, kvi[0], kvc[0], mb[0], qi[0],
-                              qc[0], mbt[0], dims, scale, interpret)
+    # check_vma off: pallas_call out_shapes don't carry vma metadata.
+    sharded = shard_map(
+        local_fn, mesh=self._mesh,
+        in_specs=(P(None, axis, None), P(), P(),
+                  P(axis), P(axis), P(axis), P(axis), P(axis), P(axis)),
+        out_specs=P(None, axis, None),
+        check_vma=False)
 
-      # check_vma off: pallas_call out_shapes don't carry vma metadata.
-      sharded = shard_map(
-          local_fn, mesh=mesh,
-          in_specs=(P(None, axis, None), P(), P(),
-                    P(axis), P(axis), P(axis), P(axis), P(axis), P(axis)),
-          out_specs=P(None, axis, None),
-          check_vma=False)
+    def to_bh(x, n_pad):
+      x = jnp.swapaxes(x, 1, 2).reshape(batch * heads, n_in, d)
+      return jnp.pad(x, ((0, 0), (0, n_pad - n_in), (0, 0)))
 
-      def to_bh(x, n_pad):
-        x = jnp.swapaxes(x, 1, 2).reshape(batch * heads, n_in, d)
-        return jnp.pad(x, ((0, 0), (0, n_pad - n_in), (0, 0)))
-
-      qb = to_bh(q, m["n_q_pad"])
-      kb = to_bh(k, m["n_kv_pad"])
-      vb = to_bh(v, m["n_kv_pad"])
-      ob = sharded(qb, kb, vb, jnp.asarray(kv_index),
-                   jnp.asarray(kv_count), jnp.asarray(mask_blocks),
-                   jnp.asarray(q_index), jnp.asarray(q_count),
-                   jnp.asarray(mask_t))
-      ob = ob[:, :n_in].reshape(batch, heads, n_in, d)
-      return jnp.swapaxes(ob, 1, 2)
-
-    return fn
+    qb = to_bh(q, m["n_q_pad"])
+    kb = to_bh(k, m["n_kv_pad"])
+    vb = to_bh(v, m["n_kv_pad"])
+    ob = sharded(qb, kb, vb, *arrays)
+    ob = ob[:, :n_in].reshape(batch, heads, n_in, d)
+    return jnp.swapaxes(ob, 1, 2)
 
 
 class _MapHolder:

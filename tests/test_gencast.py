@@ -246,3 +246,73 @@ def test_denoiser_chunked_with_splash_matches_full():
     np.testing.assert_allclose(
         np.asarray(s_chunk.data(n)), np.asarray(s_full.data(n)),
         rtol=3e-4, atol=3e-4)
+
+
+def test_gencast_sequence_parallel_matches_unsharded():
+  """The real denoiser under sp=2: forward sample and loss grads must match
+  the unsharded model bit-for-tolerance (reference knob q_seq_shards,
+  sparse_transformer.py:271-273)."""
+  from jax.sharding import Mesh
+  from graphcast_tpu import train
+
+  def build(sequence_parallel=None):
+    st_cfg = SparseTransformerConfig(
+        attention_k_hop=2, d_model=16, num_layers=2, num_heads=2,
+        attention_type="splash_mha", ffw_hidden=32,
+        block_q=32, block_kv=32)
+    arch_cfg = DenoiserArchitectureConfig(
+        sparse_transformer_config=st_cfg, mesh_size=1, latent_size=16,
+        hidden_layers=1)
+    return gencast.GenCast(
+        task_config=TINY_TASK,
+        denoiser_architecture_config=arch_cfg,
+        sampler_config=gencast.SamplerConfig(num_noise_levels=3),
+        noise_config=gencast.NoiseConfig(),
+        noise_encoder_config=NoiseEncoderConfig(
+            num_frequencies=8, output_sizes=(16, 8)),
+        cache_dir="", interpret_attention=True,
+        sequence_parallel=sequence_parallel)
+
+  mesh = Mesh(np.array(jax.devices()[:2]), ("sp",))
+  base = build()
+  sp = build(sequence_parallel=(mesh, "sp"))
+  inputs, targets, forcings = make_batch(batch=1)
+  rng = jax.random.PRNGKey(0)
+
+  params_base = base.init(rng, inputs, targets, forcings)
+  params_sp = sp.init(rng, inputs, targets, forcings)
+  # Same trainable weights; graph_statics differ (per-shard splash maps).
+  trainable, _ = train.partition_params(params_base)
+  _, statics_sp = train.partition_params(params_sp)
+  params_sp = train.merge_params(trainable, statics_sp)
+
+  s_base = jax.jit(
+      lambda p, r: base(p, r, inputs, targets, forcings))(
+          params_base, jax.random.PRNGKey(5))
+  s_sp = jax.jit(
+      lambda p, r: sp(p, r, inputs, targets, forcings))(
+          params_sp, jax.random.PRNGKey(5))
+  for n in targets.var_names:
+    np.testing.assert_allclose(
+        np.asarray(s_sp.data(n)), np.asarray(s_base.data(n)),
+        rtol=1e-5, atol=1e-5)
+
+  def loss_fn(model, statics):
+    def fn(p, r):
+      loss, _ = model.loss(train.merge_params(p, statics), r, inputs,
+                           targets, forcings)
+      return jnp.mean(loss)
+    return fn
+
+  _, statics_base = train.partition_params(params_base)
+  g_base = jax.jit(jax.grad(loss_fn(base, statics_base)))(
+      trainable, jax.random.PRNGKey(9))
+  g_sp = jax.jit(jax.grad(loss_fn(sp, statics_sp)))(
+      trainable, jax.random.PRNGKey(9))
+  flat_base, _ = jax.tree_util.tree_flatten_with_path(g_base)
+  flat_sp = dict(jax.tree_util.tree_flatten_with_path(g_sp)[0])
+  assert len(flat_base) == len(flat_sp) and len(flat_base) > 0
+  for path, val in flat_base:
+    np.testing.assert_allclose(
+        np.asarray(flat_sp[path]), np.asarray(val), rtol=2e-4, atol=2e-5,
+        err_msg=f"grad mismatch at {jax.tree_util.keystr(path)}")
