@@ -489,11 +489,14 @@ class DenoiserArchitecture:
     e_feats = statics["m2g_edge_features"].astype(dtype).reshape(
         k, 3 * gc, -1)
     senders = statics["m2g_senders"].reshape(k, 3 * gc)
-    grid_chunks = latent_grid_nodes.reshape(k, gc, batch, latent)
     receivers_local = jnp.repeat(jnp.arange(gc, dtype=jnp.int32), 3)
 
     def decode_chunk(args):
-      grid_chunk, e_feat, senders_chunk = args
+      # Grid latents sliced from the closure, not passed as reshaped xs —
+      # see models/graphcast.py:_run_mesh2grid_chunked (training memory).
+      idx, e_feat, senders_chunk = args
+      grid_chunk = jax.lax.dynamic_slice_in_dim(
+          latent_grid_nodes, idx * gc, gc)
       e_feat_b = _add_batch_second_axis(e_feat, batch)
       e_lat = embed_spec.apply(p["encoder_edges_mesh2grid"], e_feat_b,
                                global_norm_conditioning=gnc)
@@ -509,7 +512,7 @@ class DenoiserArchitecture:
       return dec_spec.apply(p["decoder_nodes_grid_nodes"], n_res)
 
     out = jax.lax.map(jax.checkpoint(decode_chunk),
-                      (grid_chunks, e_feats, senders))
+                      (jnp.arange(k, dtype=jnp.int32), e_feats, senders))
     return out.reshape(g_total, batch, -1)
 
   # --- fused Pallas paths (batch 1; conditioning folded into vectors) ---

@@ -554,8 +554,6 @@ class GraphCast(Predictor):
     dec_spec = specs["decoder_nodes_grid_nodes"]
 
     senders = statics["m2g_senders"].reshape(k, 3 * gc)
-    grid_chunks = latent_grid_nodes.reshape(
-        k, gc, batch, latent)
     receivers_local = jnp.repeat(
         jnp.arange(gc, dtype=jnp.int32), 3)
 
@@ -576,7 +574,15 @@ class GraphCast(Predictor):
           k, 3 * gc, -1)
 
     def decode_chunk(args):
-      grid_chunk, lead_chunk, senders_chunk = args
+      # The grid latents are sliced from the closed-over full array rather
+      # than passed as reshaped lax.map xs: as xs they materialize a
+      # layout-copy of the whole [num_grid, B, latent] array per remat
+      # instance (≈1 GB × several at 0.25°, part of the 73 GB that kept
+      # 2-step AR training off a 16 GB chip); as a closure the backward
+      # references the one shared array.
+      idx, lead_chunk, senders_chunk = args
+      grid_chunk = jax.lax.dynamic_slice_in_dim(
+          latent_grid_nodes, idx * gc, gc)
       if const is not None:
         x = lead_chunk + mesh_proj[senders_chunk] + (
             grid_chunk @ wr)[receivers_local]
@@ -601,7 +607,7 @@ class GraphCast(Predictor):
 
     # Remat per chunk (see _run_grid2mesh_chunked).
     out = jax.lax.map(jax.checkpoint(decode_chunk),
-                      (grid_chunks, lead, senders))
+                      (jnp.arange(k, dtype=jnp.int32), lead, senders))
     return out.reshape(g_total, batch, -1)
 
   # ----- fully-fused grid2mesh encode (Pallas, batch-1 fast path) -----
@@ -782,8 +788,16 @@ class GraphCast(Predictor):
         latent_mesh_nodes, latent_grid_nodes = self._run_grid2mesh_fused(
             params, statics, grid_node_features, const)
       elif self._encode_chunks > 1 and self._g2m_plan is not None:
-        latent_mesh_nodes, latent_grid_nodes = self._run_grid2mesh_chunked(
-            params, statics, grid_node_features, const=sel.get("g2m_const"))
+        # Stage-level remat: under grad, drop the encoder's grid-node-sized
+        # internals (grid_in concat, grid_emb, grid_proj ≈ 3 GB at 0.25°)
+        # while the processor/decoder backwards run; the encoder forward is
+        # recomputed once when its own backward starts. Identity under pure
+        # inference.
+        def _encode(p, gnf):
+          return self._run_grid2mesh_chunked(
+              p, statics, gnf, const=sel.get("g2m_const"))
+        latent_mesh_nodes, latent_grid_nodes = jax.checkpoint(_encode)(
+            params, grid_node_features)
       else:
         g2m_out = self._grid2mesh_gnn.apply(
             params["grid2mesh_gnn"],

@@ -82,10 +82,19 @@ class Autoregressive(WrapperPredictor):
 
   def __init__(self, predictor: Predictor,
                noise_level: Optional[float] = None,
-               gradient_checkpointing: bool = False):
+               gradient_checkpointing: bool = False,
+               loss_scan_unroll: int = 1):
+    """``loss_scan_unroll``: unroll factor for the AR-loss scan (clamped to
+    the number of AR steps). At 0.25° the fully-unrolled 2-step backward
+    packs ~2 GB tighter than the while-loop form (7% vs 32-34% buffer
+    fragmentation — the scan's hoisted double-buffered allocations pack
+    badly), which is the difference between fitting a 16 GB chip and not;
+    beyond 2 unrolled steps XLA overlaps the per-step backward recomputes
+    and memory grows ~linearly, so keep this at 2-4."""
     super().__init__(predictor)
     self._noise_level = noise_level
     self._gradient_checkpointing = gradient_checkpointing
+    self._loss_scan_unroll = loss_scan_unroll
 
   def init(self, rng, inputs, targets_template, forcings, **kwargs):
     # The inner one-step predictor only ever sees single-timestep targets
@@ -198,7 +207,13 @@ class Autoregressive(WrapperPredictor):
     return self._loss_scan(params, rng, inputs, targets, forcings, **kwargs)
 
   def _loss_scan(self, params, rng, inputs, targets, forcings, **kwargs):
-    kwargs = {**kwargs, **self.precompute_step_statics(params, inputs)}
+    # NB: unlike the inference rollouts above, the loss scan must NOT hoist
+    # precompute_step_statics: the hoisted [E, 512] static edge latents are
+    # computed FROM params, so under grad each rematerialized step saves its
+    # own copy of the stacks and f32 cotangents accumulate for them —
+    # measured +33 GB of the 73 GB that kept 2-step AR training at 0.25°
+    # off a 16 GB chip. The in-chunk embed path recomputes them per step
+    # (two [E,512] matmul passes) and keeps grads exact.
     constant_inputs, inputs = _split_constant_inputs(
         inputs, targets, forcings)
     _validate(targets, forcings)
@@ -242,8 +257,9 @@ class Autoregressive(WrapperPredictor):
     if self._gradient_checkpointing and num_steps > 1:
       step = jax.checkpoint(step)
 
+    unroll = max(1, min(self._loss_scan_unroll, num_steps))
     _, (losses, diagnostics, pred_ys) = jax.lax.scan(
-        step, inputs, (rngs, targets_xs, forcings_xs))
+        step, inputs, (rngs, targets_xs, forcings_xs), unroll=unroll)
 
     # Average per-timestep losses over time
     # (reference: autoregressive.py:303-312).

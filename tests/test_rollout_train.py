@@ -216,3 +216,84 @@ def test_chunked_prediction_strips_and_restamps_datetime():
       predictor_fn, rng, inputs_dt, targets_dt, forcings_dt,
       num_steps_per_chunk=2)
   np.testing.assert_array_equal(out.coords["datetime"], datetimes)
+
+
+def test_two_step_ar_loss_equals_manual_unroll():
+  """The 2-step AR training loss must equal the mean of two manual 1-step
+  losses with the window rolled forward by the step-1 predictions
+  (reference semantics: autoregressive.py:289-304)."""
+  predictor, inputs, targets, forcings = build(num_targets=2, batch=1,
+                                                grad_ckpt=True)
+  rng = jax.random.PRNGKey(3)
+  params = predictor.init(rng, inputs, targets, forcings)
+
+  (loss_ar, _), preds = predictor.loss_and_predictions(
+      params, rng, inputs, targets, forcings)
+
+  # Manual: replicate the scan's rng schedule.
+  inner = predictor._predictor
+  rng2, _noise = jax.random.split(rng)
+  rngs = jax.random.split(rng2, 2)
+  t0 = targets.isel(time=slice(0, 1))
+  f0 = forcings.isel(time=slice(0, 1))
+  (l0, _), p0 = inner.loss_and_predictions(params, rngs[0], inputs, t0, f0)
+  next_inputs = rollout.get_next_inputs(inputs, p0, f0)
+  t1 = targets.isel(time=slice(1, 2)).assign_coords(time=None)
+  f1 = forcings.isel(time=slice(1, 2)).assign_coords(time=None)
+  (l1, _), p1 = inner.loss_and_predictions(
+      params, rngs[1], next_inputs.assign_coords(time=None), t1, f1)
+
+  np.testing.assert_allclose(
+      np.asarray(loss_ar), (np.asarray(l0) + np.asarray(l1)) / 2,
+      rtol=2e-3)
+  # And the stacked predictions match the per-step ones.
+  for n in targets.var_names:
+    np.testing.assert_allclose(
+        np.asarray(preds.isel(time=slice(0, 1)).data(n)),
+        np.asarray(p0.data(n)), rtol=2e-2, atol=2e-2)
+    np.testing.assert_allclose(
+        np.asarray(preds.isel(time=slice(1, 2)).data(n)),
+        np.asarray(p1.data(n)), rtol=2e-2, atol=2e-2)
+
+
+def test_loss_scan_unroll_invariance():
+  """loss_scan_unroll is a memory/scheduling knob: the loss and grads must
+  be identical whatever the unroll factor."""
+  from graphcast_tpu.data import synthetic as synth
+  from graphcast_tpu.models.graphcast import GraphCast
+  from graphcast_tpu.wrappers import (Autoregressive, Bfloat16Cast,
+                                      InputsAndResiduals)
+
+  inputs, targets, forcings = synth.make_example_batch(
+      TINY_TASK, resolution=30.0, batch=1, num_target_times=3)
+  stddev, mean, diffs = synth.make_norm_stats(TINY_TASK)
+
+  def build_unroll(u):
+    return Autoregressive(
+        InputsAndResiduals(
+            Bfloat16Cast(GraphCast(TINY_MODEL, TINY_TASK, cache_dir="")),
+            stddev_by_level=stddev, mean_by_level=mean,
+            diffs_stddev_by_level=diffs),
+        gradient_checkpointing=True, loss_scan_unroll=u)
+
+  rng = jax.random.PRNGKey(0)
+  p1 = build_unroll(1)
+  params = p1.init(rng, inputs, targets, forcings)
+  trainable, statics = train.partition_params(params)
+
+  def loss_of(model):
+    def fn(trainable):
+      loss, _ = model.loss(train.merge_params(trainable, statics), rng,
+                           inputs, targets, forcings)
+      return jnp.mean(loss)
+    return fn
+
+  l1, g1 = jax.value_and_grad(loss_of(p1))(trainable)
+  l3, g3 = jax.value_and_grad(loss_of(build_unroll(3)))(trainable)
+  np.testing.assert_allclose(float(l1), float(l3), rtol=1e-6)
+  for (path, a), (_, b) in zip(
+      jax.tree_util.tree_flatten_with_path(g1)[0],
+      jax.tree_util.tree_flatten_with_path(g3)[0]):
+    np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7,
+        err_msg=f"{jax.tree_util.keystr(path)}")

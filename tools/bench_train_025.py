@@ -14,6 +14,8 @@ import time
 
 import numpy as np
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 
 def main():
   ar_steps = int(sys.argv[1]) if len(sys.argv) > 1 else 1
@@ -48,7 +50,8 @@ def main():
                                  remat_processor=True)),
           stddev_by_level=stddev, mean_by_level=mean,
           diffs_stddev_by_level=diffs),
-      gradient_checkpointing=True)
+      gradient_checkpointing=True,
+      loss_scan_unroll=int(os.environ.get("AR_UNROLL", "4")))
 
   inputs, targets, forcings = synthetic.make_example_batch(
       task, resolution=0.25, batch=1, num_target_times=ar_steps)
