@@ -82,10 +82,14 @@ def crps_ensemble(predictions: FieldSet, targets: FieldSet,
     t = targets[name].data.astype(jnp.float32)      # [1, ...]
     m = p.shape[0]
     skill = jnp.mean(jnp.abs(p - t), axis=0)        # E|X − y|
-    # Pairwise spread via O(M²) broadcast (fine for M ≤ ~64 members).
-    diffs = jnp.abs(p[:, None] - p[None, :])        # [M, M, ...]
+    # Pairwise spread Σᵢⱼ|xᵢ−xⱼ| without the [M, M, ...] broadcast (which
+    # is O(M²) memory and capped large ensembles at ~64 members): for
+    # member-sorted values, Σᵢⱼ|xᵢ−xⱼ| = 2·Σₖ(2k−M−1)·x₍ₖ₎ (k 1-indexed).
     denom = m * (m - 1) if (fair and m > 1) else m * m
-    spread = jnp.sum(diffs, axis=(0, 1)) / denom
+    p_sorted = jnp.sort(p, axis=0)
+    coeffs = (2.0 * jnp.arange(1, m + 1, dtype=jnp.float32) - m - 1)
+    coeffs = coeffs.reshape((m,) + (1,) * (p.ndim - 1))
+    spread = 2.0 * jnp.sum(coeffs * p_sorted, axis=0) / denom
     crps = skill - 0.5 * spread
     tf = targets[name]
     w = _lat_weights(targets, tf)

@@ -397,8 +397,20 @@ class Transformer:
     # 0.25°/mesh-6) keeping only the [nodes, d_model] block inputs — what
     # fits the GenCast training step on a 16 GB chip.
     block_fn = jax.checkpoint(block_fn)
-    for i in range(cfg.num_layers):
-      x = block_fn(x, params[f"block_{i:02d}"], kernel_statics)
+
+    blocks = [params[f"block_{i:02d}"] for i in range(cfg.num_layers)]
+    if cfg.num_layers > 1:
+      # One traced layer, scanned over stacked per-layer params: the blocks
+      # are structurally identical, so this compiles ONE attention kernel
+      # instance instead of num_layers (the 0.25°/mesh-6 GenCast compile was
+      # ~14 min with 32 inline splash instances). The [L, ...] stacks are
+      # assembled on device from the unstacked (checkpoint-compatible)
+      # param tree each call — a few MB of copies.
+      stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *blocks)
+      x, _ = jax.lax.scan(
+          lambda h, p: (block_fn(h, p, kernel_statics), None), x, stacked)
+    else:
+      x = block_fn(x, blocks[0], kernel_statics)
 
     return nc.apply(params["final_norm_conditioning"], ln.apply({}, x), cond)
 

@@ -65,43 +65,61 @@ def _build_block_map(mask: sp.csr_matrix, block_q: int, block_kv: int):
   nkv = -(-n // block_kv)
   n_q_pad = nq * block_q
   n_kv_pad = nkv * block_kv
-  dense = np.zeros((n_q_pad, n_kv_pad), dtype=bool)
-  dense[:n, :n] = mask.toarray()
+  nw = block_kv // 32
+  assert block_kv % 32 == 0, block_kv
 
-  blocks = dense.reshape(nq, block_q, nkv, block_kv).transpose(0, 2, 1, 3)
-  active = blocks.any(axis=(2, 3))  # [nq, nkv]
+  # Sparse-native build: never densify the mask (the dense [n, n] bool is
+  # ~1.7 GB at mesh-6 and O(N²) beyond — mesh-7 would need 27 GB host RAM).
+  # Work directly on the nonzero coordinates: block ids, then bitpacked
+  # per-block bitmaps via scatter-or.
+  coo = mask.tocoo()
+  keep = coo.data.astype(bool)
+  rows = coo.row[keep].astype(np.int64)
+  cols = coo.col[keep].astype(np.int64)
 
-  kv_lists = [np.nonzero(active[i])[0] for i in range(nq)]
-  ma = max((len(l) for l in kv_lists), default=1)
+  qb = rows // block_q
+  kb = cols // block_kv
+  bid = qb * nkv + kb
+  uniq = np.unique(bid)                   # active blocks, sorted (qb, kb)
+  n_active = len(uniq)
+  qb_u = (uniq // nkv).astype(np.int64)
+  kb_u = (uniq % nkv).astype(np.int64)
+
+  # Per-active-block packed bitmaps, shared by both map orientations.
+  # Packing matches _pack_mask_bits: column j → word j % nw, bit j // nw.
+  packed = np.zeros((max(n_active, 1), block_q, nw), dtype=np.uint32)
+  inv = np.searchsorted(uniq, bid)
+  lr = rows % block_q
+  lc = cols % block_kv
+  np.bitwise_or.at(packed, (inv, lr, lc % nw),
+                   np.uint32(1) << (lc // nw).astype(np.uint32))
+
+  kv_count = np.bincount(qb_u, minlength=nq).astype(np.int32)
+  ma = max(int(kv_count.max(initial=0)), 1)
+  offs = np.concatenate([[0], np.cumsum(kv_count)])
+  slot = np.arange(n_active, dtype=np.int64) - offs[qb_u]
   kv_index = np.zeros((nq, ma), dtype=np.int32)
-  kv_count = np.zeros((nq,), dtype=np.int32)
-  mask_blocks = np.zeros((nq, ma, block_q, block_kv), dtype=np.bool_)
-  for i, lst in enumerate(kv_lists):
-    kv_count[i] = len(lst)
-    for s, j in enumerate(lst):
-      kv_index[i, s] = j
-      mask_blocks[i, s] = blocks[i, j]
+  kv_index[qb_u, slot] = kb_u
+  mask_blocks = np.zeros((nq * ma, block_q, nw), dtype=np.uint32)
+  mask_blocks[qb_u * ma + slot] = packed[:n_active]
 
-  q_lists = [np.nonzero(active[:, j])[0] for j in range(nkv)]
-  mat = max((len(l) for l in q_lists), default=1)
+  order_t = np.argsort(kb_u * nq + qb_u, kind="stable")
+  q_count = np.bincount(kb_u, minlength=nkv).astype(np.int32)
+  mat = max(int(q_count.max(initial=0)), 1)
+  offs_t = np.concatenate([[0], np.cumsum(q_count)])
+  slot_t = np.arange(n_active, dtype=np.int64) - offs_t[kb_u[order_t]]
   q_index = np.zeros((nkv, mat), dtype=np.int32)
-  q_count = np.zeros((nkv,), dtype=np.int32)
-  mask_blocks_t = np.zeros((nkv, mat, block_q, block_kv), dtype=np.bool_)
-  for j, lst in enumerate(q_lists):
-    q_count[j] = len(lst)
-    for s, i in enumerate(lst):
-      q_index[j, s] = i
-      mask_blocks_t[j, s] = blocks[i, j]
+  q_index[kb_u[order_t], slot_t] = qb_u[order_t]
+  mask_blocks_t = np.zeros((nkv * mat, block_q, nw), dtype=np.uint32)
+  mask_blocks_t[kb_u[order_t] * mat + slot_t] = packed[order_t]
 
   return dict(
       n=n, nq=nq, nkv=nkv, ma=ma, mat=mat,
       n_q_pad=n_q_pad, n_kv_pad=n_kv_pad,
       kv_index=kv_index, kv_count=kv_count,
-      mask_blocks=_pack_mask_bits(
-          mask_blocks.reshape(nq * ma, block_q, block_kv)),
+      mask_blocks=mask_blocks,
       q_index=q_index, q_count=q_count,
-      mask_blocks_t=_pack_mask_bits(
-          mask_blocks_t.reshape(nkv * mat, block_q, block_kv)),
+      mask_blocks_t=mask_blocks_t,
   )
 
 

@@ -129,6 +129,48 @@ def test_bf16_path():
                              rtol=0.05, atol=0.05)
 
 
+def test_block_map_matches_dense_construction():
+  """The sparse-native _build_block_map (no mask.toarray densify — O(nnz)
+  host memory, required beyond mesh-6) must reproduce the dense-derived
+  block structure exactly, including padding and both map orientations."""
+  n, bq, bkv = 520, 128, 128   # non-multiple n → padded tail blocks
+  mask = make_banded_mask(n, 48, seed=3)
+  got = splash._build_block_map(mask, bq, bkv)
+
+  nq, nkv = -(-n // bq), -(-n // bkv)
+  dense = np.zeros((nq * bq, nkv * bkv), dtype=bool)
+  dense[:n, :n] = mask.toarray()
+  blocks = dense.reshape(nq, bq, nkv, bkv).transpose(0, 2, 1, 3)
+  active = blocks.any(axis=(2, 3))
+
+  kv_lists = [np.nonzero(active[i])[0] for i in range(nq)]
+  ma = max(len(l) for l in kv_lists)
+  assert got["ma"] == ma and got["nq"] == nq and got["nkv"] == nkv
+  mask_blocks = np.zeros((nq, ma, bq, bkv), dtype=bool)
+  for i, lst in enumerate(kv_lists):
+    assert got["kv_count"][i] == len(lst)
+    np.testing.assert_array_equal(got["kv_index"][i, :len(lst)], lst)
+    assert not got["kv_index"][i, len(lst):].any()
+    for s, j in enumerate(lst):
+      mask_blocks[i, s] = blocks[i, j]
+  np.testing.assert_array_equal(
+      got["mask_blocks"],
+      splash._pack_mask_bits(mask_blocks.reshape(nq * ma, bq, bkv)))
+
+  q_lists = [np.nonzero(active[:, j])[0] for j in range(nkv)]
+  mat = max(len(l) for l in q_lists)
+  assert got["mat"] == mat
+  mask_blocks_t = np.zeros((nkv, mat, bq, bkv), dtype=bool)
+  for j, lst in enumerate(q_lists):
+    assert got["q_count"][j] == len(lst)
+    np.testing.assert_array_equal(got["q_index"][j, :len(lst)], lst)
+    for s, i in enumerate(lst):
+      mask_blocks_t[j, s] = blocks[i, j]
+  np.testing.assert_array_equal(
+      got["mask_blocks_t"],
+      splash._pack_mask_bits(mask_blocks_t.reshape(nkv * mat, bq, bkv)))
+
+
 def test_block_map_sparsity():
   mask = make_banded_mask(1024, 64)
   attn = splash.BlockSparseAttention.from_mask(mask, block_q=128,
