@@ -175,6 +175,9 @@ class DenoiserArchitecture:
   def _maybe_init(self, inputs: FieldSet, cond_size: int):
     if self._artifact is None:
       coords = inputs.coords
+      st_cfg = self._cfg.sparse_transformer_config
+      if st_cfg.node_ordering not in ("rcm", "patch"):
+        raise ValueError(f"unknown node_ordering {st_cfg.node_ordering!r}")
       self._artifact = artifact_lib.build_artifact(
           grid_lat=coords["lat"],
           grid_lon=coords["lon"],
@@ -183,6 +186,8 @@ class DenoiserArchitecture:
               self._cfg.radius_query_fraction_edge_length),
           multimesh=False,
           permute_banded=True,
+          banded_patch_size=(st_cfg.block_q
+                             if st_cfg.node_ordering == "patch" else None),
           cache_dir=self._cache_dir)
       art = self._artifact
       self._mesh_transformer = MeshTransformer(

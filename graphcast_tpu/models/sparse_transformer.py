@@ -51,7 +51,13 @@ class SparseTransformerConfig:
   num_heads: int = 4
   attention_type: str = "splash_mha"
   mask_type: str = "lazy"
-  block_q: int = 1024
+  # 512×512 tiles + BFS-patch node ordering measured fastest at
+  # 0.25°/mesh-6/k-hop-16 (195 ms/16 layers vs 288 ms at the reference's
+  # 1024×512 + RCM bands: ~2× fewer covered tiles; the kernel is
+  # VPU-softmax-bound so time tracks covered tile elements). Smaller tiles
+  # reduce coverage further but lose more to per-step overhead (512×256
+  # measured 362 ms).
+  block_q: int = 512
   block_kv: int = 512
   block_kv_compute: int = 256
   block_q_dkv: int = 512
@@ -63,6 +69,12 @@ class SparseTransformerConfig:
   attn_winit_final_mult: float = 0.0
   ffw_hidden: int = 2048
   activation: str = "gelu"
+  # Mesh-node ordering used when the owning model builds its artifact:
+  # "rcm" (reference-style bands) or "patch" (BFS patches of block_q nodes
+  # aligned to the attention tiles — ~2× fewer active splash tiles on big
+  # k-hop masks; see geometry.artifact.patch_permutation). Not part of the
+  # reference schema; loaders default it when absent from a checkpoint.
+  node_ordering: str = "patch"
 
   @property
   def key_size(self) -> int:

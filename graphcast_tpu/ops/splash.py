@@ -235,6 +235,11 @@ def _fwd(q, k, v, block_map, block_q, block_kv, scale, interpret,
   )
   o, lse = pl.pallas_call(
       kernel, grid_spec=grid_spec, out_shape=out_shape,
+      # (batch·head, q-block) steps are independent; only the kv sweep (j)
+      # carries the online-softmax scratch. Declaring this lets Mosaic
+      # pipeline/reorder across the parallel dims.
+      compiler_params=pltpu.CompilerParams(
+          dimension_semantics=("parallel", "parallel", "arbitrary")),
       interpret=interpret)(kv_index, kv_count, q, k, v, mask_blocks)
   return o, lse[..., 0]
 
@@ -389,6 +394,8 @@ def _bwd(q, k, v, o, lse, do, block_map, block_q, block_kv, scale, interpret,
           scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
       ),
       out_shape=jax.ShapeDtypeStruct((bh, n_q_pad, d), q.dtype),
+      compiler_params=pltpu.CompilerParams(
+          dimension_semantics=("parallel", "parallel", "arbitrary")),
       interpret=interpret,
   )(kv_index, kv_count, q, k, v, mask_blocks, do, lse_b, delta_b)
 
@@ -438,6 +445,8 @@ def _bwd(q, k, v, o, lse, do, block_map, block_q, block_kv, scale, interpret,
           jax.ShapeDtypeStruct((bh, n_kv_pad, d), k.dtype),
           jax.ShapeDtypeStruct((bh, n_kv_pad, d), v.dtype),
       ),
+      compiler_params=pltpu.CompilerParams(
+          dimension_semantics=("parallel", "parallel", "arbitrary")),
       interpret=interpret,
   )(q_index, q_count, q, k, v, mask_blocks_t, do, lse_b, delta_b)
 

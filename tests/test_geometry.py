@@ -295,3 +295,86 @@ def test_spatial_permutation_model_invariance(monkeypatch):
     np.testing.assert_allclose(
         np.asarray(out_off.data(n)), np.asarray(out_on.data(n)),
         rtol=2e-4, atol=2e-4)
+
+
+def test_patch_permutation_valid_and_block_compact():
+  """BFS-patch ordering is a valid permutation and yields fewer active
+  splash tiles than RCM on a k-hop mask (its purpose — see
+  artifact.patch_permutation)."""
+  import scipy.sparse as sp
+  mesh = ico.get_mesh_hierarchy(4)[-1]
+  senders, receivers = ico.faces_to_edges(mesh.faces)
+  n = mesh.vertices.shape[0]
+
+  perm = artifact.patch_permutation(senders, receivers, n,
+                                    mesh.vertices, 128)
+  assert perm.shape == (n,)
+  assert np.array_equal(np.sort(perm), np.arange(n))
+
+  from graphcast_tpu.models.sparse_transformer import (
+      k_hop_adjacency_from_matrix)
+  from graphcast_tpu.ops.splash import _build_block_map
+  adj = sp.csr_matrix((np.ones_like(senders, dtype=np.int8),
+                       (senders, receivers)), shape=(n, n))
+  adj = ((adj + adj.T + sp.eye(n, dtype=np.int8)) > 0).tocsr()
+  mask = k_hop_adjacency_from_matrix(adj, 8)
+
+  def active_blocks(order):
+    inv = np.empty(n, np.int64)
+    inv[order] = np.arange(n)
+    coo = mask.tocoo()
+    m = sp.csr_matrix((coo.data, (inv[coo.row], inv[coo.col])),
+                      shape=(n, n))
+    return int(_build_block_map(m, 128, 128)["kv_count"].sum())
+
+  rcm = artifact.rcm_permutation(senders, receivers, n)
+  assert active_blocks(perm) < active_blocks(rcm)
+
+
+def test_patch_ordering_model_invariance():
+  """A splash GenCast denoiser gives the same grid outputs under RCM and
+  BFS-patch mesh-node orderings (the ordering only relabels mesh nodes)."""
+  import dataclasses
+  import jax
+  from graphcast_tpu.data import synthetic
+  from graphcast_tpu.models import gencast
+  from graphcast_tpu.models.denoiser import (
+      DenoiserArchitectureConfig, NoiseEncoderConfig)
+  from graphcast_tpu.models.sparse_transformer import SparseTransformerConfig
+  from tests.test_gencast import TINY_TASK, make_batch
+
+  def build(node_ordering):
+    st_cfg = SparseTransformerConfig(
+        attention_k_hop=2, d_model=16, num_layers=2, num_heads=2,
+        attention_type="splash_mha", ffw_hidden=32,
+        block_q=64, block_kv=64, node_ordering=node_ordering)
+    arch_cfg = DenoiserArchitectureConfig(
+        sparse_transformer_config=st_cfg, mesh_size=2, latent_size=16,
+        hidden_layers=1)
+    return gencast.GenCast(
+        task_config=TINY_TASK,
+        denoiser_architecture_config=arch_cfg,
+        sampler_config=gencast.SamplerConfig(num_noise_levels=3),
+        noise_config=gencast.NoiseConfig(),
+        noise_encoder_config=NoiseEncoderConfig(
+            num_frequencies=8, output_sizes=(16, 8)),
+        cache_dir="", interpret_attention=True)
+
+  inputs, targets, forcings = make_batch(batch=1)
+  rng = jax.random.PRNGKey(0)
+  m_rcm = build("rcm")
+  params = m_rcm.init(rng, inputs, targets, forcings)
+  out_rcm = m_rcm(params, rng, inputs, targets, forcings)
+
+  m_patch = build("patch")
+  # Strip the RCM model's graph statics so the patch model recomputes its
+  # own (same pattern as test_denoiser_chunked_with_splash_matches_full).
+  params_patch = dict(params)
+  params_patch["architecture"] = {
+      k: v for k, v in params["architecture"].items()
+      if k != "graph_statics"}
+  out_patch = m_patch(params_patch, rng, inputs, targets, forcings)
+  for n in targets.var_names:
+    np.testing.assert_allclose(
+        np.asarray(out_patch.data(n)), np.asarray(out_rcm.data(n)),
+        rtol=2e-4, atol=2e-4)

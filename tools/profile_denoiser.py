@@ -29,6 +29,7 @@ def main():
   ap.add_argument("--k-hop", type=int, default=16)
   ap.add_argument("--block-q", type=int, default=1024)
   ap.add_argument("--block-kv", type=int, default=512)
+  ap.add_argument("--node-ordering", type=str, default="rcm")
   ap.add_argument("--stages", type=str,
                   default="encode,transformer,decode,full")
   ap.add_argument("--reps", type=int, default=4)
@@ -51,7 +52,8 @@ def main():
   st_cfg = SparseTransformerConfig(
       attention_k_hop=args.k_hop, d_model=args.latent,
       num_layers=args.layers, num_heads=4, attention_type="splash_mha",
-      block_q=args.block_q, block_kv=args.block_kv)
+      block_q=args.block_q, block_kv=args.block_kv,
+      node_ordering=args.node_ordering)
   arch_cfg = DenoiserArchitectureConfig(
       sparse_transformer_config=st_cfg, mesh_size=args.mesh_size,
       latent_size=args.latent, hidden_layers=1,
