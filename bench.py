@@ -231,7 +231,13 @@ def main():
 
   num_steps = int(os.environ.get("BENCH_NUM_STEPS", "40"))
   baseline_budget_s = 60.0  # BASELINE.json north star for the 40-step rollout
-  gencast_baseline_s = 6.0  # reference s per 12h step per member (see above)
+  # Reference seconds per 12h step per member: 1.0° ≈ 6 s (3 min / 30 steps
+  # on a v5e, docs/cloud_vm_setup.md:30-31); 0.25° ≈ 16 s (8 min / 30 steps
+  # on 8x v5p 32 GB, docs/cloud_vm_setup.md:36).
+  gc_resolution = os.environ.get("BENCH_GENCAST_RESOLUTION", "1.0")
+  gencast_baseline_s = 16.0 if gc_resolution == "0.25" else 6.0
+  gc_artifact = ("BENCH_GENCAST_025.json" if gc_resolution == "0.25"
+                 else "BENCH_GENCAST.json")
 
   # GenCast metric (captured to BENCH_GENCAST.json every run; primary line
   # with BENCH_GENCAST=1).
@@ -246,7 +252,7 @@ def main():
           "vs_baseline": round(gencast_baseline_s / gc_steady, 3),
       }
       with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             "BENCH_GENCAST.json"), "w") as f:
+                             gc_artifact), "w") as f:
         json.dump({**gc_result, "compile_s": round(gc_compile, 1)}, f)
         f.write("\n")
       print(f"# gencast: {json.dumps(gc_result)} compile={gc_compile:.1f}s",

@@ -67,7 +67,14 @@ class GraphCast(Predictor):
     grid nodes (exactly equivalent math), bounding peak HBM: at 0.25° the
     decoder's 3.1M-edge buffers dominate memory, and chunking lets the full
     0.25°/37-level model run on a 16 GB chip (the reference needs 32 GB,
-    docs/cloud_vm_setup.md:44)."""
+    docs/cloud_vm_setup.md:44).
+
+    fused_aggregation: None (auto: on TPU), True (all Pallas fast paths),
+    False (XLA paths only), or "processor" — fused kernels for the 16-step
+    mesh processor ONLY, keeping the chunked encode/decode. The training
+    config: the processor's fused forward+backward kernels compose with the
+    √N remat, while the chunked encode/decode remains the path whose remat
+    fits the 0.25° backward in 16 GB."""
     self._mc = model_config
     self._tc = task_config
     self._cache_dir = cache_dir
@@ -164,9 +171,10 @@ class GraphCast(Predictor):
           "mesh": FusedEdgeStep(self._mesh_summer)}
       # (grid2mesh/mesh2grid aggregations happen once per step and are
       # handled by the chunked encode/decode paths instead.)
+    fused_full = fused and fused != "processor"
     self._g2m_summer = None
     self._g2m_fused = None
-    if (fused and self._mc.hidden_layers == 1
+    if (fused_full and self._mc.hidden_layers == 1
         and self._grid2mesh_gnn.activation == "swish"):
       # Aggregation-only fused edge step for the grid2mesh encoder (batch-1
       # fast path): the encoder's edge latents are consumed solely by the
@@ -191,7 +199,7 @@ class GraphCast(Predictor):
         self._g2m_fused = None
         self._grid2mesh_gnn.edge_aggregators = None
     self._m2g_decoder = None
-    if (fused and self._mc.hidden_layers == 1
+    if (fused_full and self._mc.hidden_layers == 1
         and self._mesh2grid_gnn.activation == "swish"):
       # Fully-fused mesh2grid decoder (batch-1 inference fast path): edge
       # MLP + LN + 3-edge aggregation + node MLP + residual + output MLP in

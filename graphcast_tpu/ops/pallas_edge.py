@@ -57,7 +57,6 @@ def _fused_edge_kernel(block_of, first_of, *refs, cs, bn, has_we,
   e_ref = next(it)
   gs_ref = next(it)
   maskt_ref = next(it)
-  mask_ref = next(it)
   gr_ref = next(it)
   if embed:
     # e rows are RAW edge features [cs, F]: embed MLP + parameter-free LN
@@ -129,10 +128,136 @@ def _fused_edge_kernel(block_of, first_of, *refs, cs, bn, has_we,
   if write_eout:
     eout_ref[:] = (e.astype(jnp.float32) + yn).astype(eout_ref.dtype)
 
-  onehot = _unpack_mask(mask_ref[0], bn, cs).astype(e.dtype)
+  # Aggregation reuses the SAME unpacked one-hot, contracting on the edge
+  # axis (onehot_tᵀ @ y on the MXU) — the second mask orientation and its
+  # in-kernel unpack (the kernel is VPU-bound) are unnecessary.
   agg_ref[:] += jax.lax.dot_general(
-      onehot, yn.astype(e.dtype), (((1,), (0,)), ((), ())),
+      onehot_t, yn.astype(e.dtype), (((0,), (0,)), ((), ())),
       preferred_element_type=jnp.float32)
+
+
+def _fused_edge_bwd_kernel(block_of, first_of, *refs, cs, bn, has_we,
+                           write_eout):
+  """Backward of _fused_edge_kernel (non-embed modes): recompute the chunk's
+  forward pipeline from its inputs, then emit all input/param grads in the
+  same single HBM pass. Weight grads accumulate in constant-index f32 output
+  blocks (the TPU grid is sequential); dgr flushes per node block exactly
+  like the forward aggregation. offset is not an input (it only contributes
+  doff = Σ dyn), but b1 is: LayerNorm is over channels, so the per-channel
+  bias does NOT cancel out of yh."""
+  c = pl.program_id(0)
+  it = iter(refs)
+  e_ref = next(it)
+  gs_ref = next(it)
+  maskt_ref = next(it)
+  gr_ref = next(it)
+  if has_we:
+    we_ref = next(it)
+    b0_ref = next(it)
+  w1_ref = next(it)
+  b1_ref = next(it)
+  scale_ref = next(it)
+  deout_ref = next(it) if write_eout else None
+  dagg_ref = next(it)
+  de_ref = next(it)
+  dgs_ref = next(it)
+  dgr_ref = next(it)
+  if has_we:
+    dwe_ref = next(it)
+    db0_ref = next(it)
+  dw1_ref = next(it)
+  db1_ref = next(it)
+  dscale_ref = next(it)
+  doff_ref = next(it)
+
+  @pl.when(c == 0)
+  def _init_weight_accums():
+    if has_we:
+      dwe_ref[:] = jnp.zeros_like(dwe_ref)
+      db0_ref[:] = jnp.zeros_like(db0_ref)
+    dw1_ref[:] = jnp.zeros_like(dw1_ref)
+    db1_ref[:] = jnp.zeros_like(db1_ref)
+    dscale_ref[:] = jnp.zeros_like(dscale_ref)
+    doff_ref[:] = jnp.zeros_like(doff_ref)
+
+  @pl.when(first_of[c] == 1)
+  def _init_gr():
+    dgr_ref[:] = jnp.zeros_like(dgr_ref)
+
+  dtype = gs_ref.dtype
+  e = e_ref[:]                                   # [cs, C]
+  onehot_t = _unpack_mask(maskt_ref[0], e.shape[0], bn)
+  oh_d = onehot_t.astype(dtype)
+
+  # --- forward recompute (mirrors _fused_edge_kernel) ---
+  if has_we:
+    x0 = jax.lax.dot_general(
+        e, we_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    x0 += b0_ref[0][None].astype(jnp.float32)
+  else:
+    x0 = e.astype(jnp.float32)
+  x0 += gs_ref[:].astype(jnp.float32)
+  x0 += jax.lax.dot_general(
+      oh_d, gr_ref[:], (((1,), (0,)), ((), ())),
+      preferred_element_type=jnp.float32)
+  xd = x0.astype(dtype)
+  one = jnp.asarray(1.0, dtype)
+  sig = one / (one + jnp.exp(-xd))
+  h = xd * sig
+  y = jax.lax.dot_general(
+      h, w1_ref[:], (((1,), (0,)), ((), ())),
+      preferred_element_type=jnp.float32)
+  y += b1_ref[0][None].astype(jnp.float32)
+  mean = jnp.mean(y, axis=-1, keepdims=True)
+  var = jnp.mean(jnp.square(y - mean), axis=-1, keepdims=True)
+  rstd = jax.lax.rsqrt(var + LN_EPS)
+  yh = (y - mean) * rstd
+
+  # --- grads ---
+  # d(yn): the aggregation broadcast (agg_b = onehot_tᵀ @ yn ⇒ dyn =
+  # onehot_t @ dagg, in f32: the XLA path's segment-sum VJP is an exact
+  # gather) plus the edge-residual cotangent.
+  dyn = jax.lax.dot_general(
+      onehot_t.astype(jnp.float32), dagg_ref[:], (((1,), (0,)), ((), ())),
+      preferred_element_type=jnp.float32)
+  if write_eout:
+    dyn += deout_ref[:].astype(jnp.float32)
+  dscale_ref[:] += jnp.sum(dyn * yh, axis=0, keepdims=True)
+  doff_ref[:] += jnp.sum(dyn, axis=0, keepdims=True)
+  dyh = dyn * scale_ref[0][None].astype(jnp.float32)
+  m1 = jnp.mean(dyh, axis=-1, keepdims=True)
+  m2 = jnp.mean(dyh * yh, axis=-1, keepdims=True)
+  dy = rstd * (dyh - m1 - yh * m2)
+  db1_ref[:] += jnp.sum(dy, axis=0, keepdims=True)
+  dyd = dy.astype(dtype)
+  dw1_ref[:] += jax.lax.dot_general(
+      h, dyd, (((0,), (0,)), ((), ())),
+      preferred_element_type=jnp.float32)
+  dh = jax.lax.dot_general(
+      dyd, w1_ref[:], (((1,), (1,)), ((), ())),
+      preferred_element_type=jnp.float32)
+  # swish'(x) = σ(x)·(1 + x·(1−σ(x)))
+  ds = sig + xd * sig * (one - sig)
+  dx0 = dh * ds.astype(jnp.float32)
+  dxd = dx0.astype(dtype)
+  dgs_ref[:] = dxd.astype(dgs_ref.dtype)
+  dgr_ref[:] += jax.lax.dot_general(
+      oh_d, dxd, (((0,), (0,)), ((), ())),
+      preferred_element_type=jnp.float32)
+  if has_we:
+    dwe_ref[:] += jax.lax.dot_general(
+        e, dxd, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    db0_ref[:] += jnp.sum(dx0, axis=0, keepdims=True)
+    de = jax.lax.dot_general(
+        dxd, we_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+  else:
+    de = dx0
+  if write_eout:
+    de = de + deout_ref[:].astype(jnp.float32)
+  de_ref[:] = de.astype(de_ref.dtype)
 
 
 class FusedEdgeStep:
@@ -146,22 +271,35 @@ class FusedEdgeStep:
   def __init__(self, summer: BlockedSegmentSum,
                interpret: Optional[bool] = None,
                include_edge_matmul: bool = True,
-               write_edges: bool = True):
+               write_edges: bool = True,
+               fused_backward: bool = True,
+               bwd_split: int = 1):
     """include_edge_matmul=False: the edge input rows are the hoisted static
     first-layer part (embed(edge_feats) @ We + b0) — skip the We matmul and
     bias. write_edges=False: no updated-edge-latent output (the grid2mesh
     encoder never reuses its edge latents; only the aggregation matters).
-    Both default True = the mesh-processor step."""
+    Both default True = the mesh-processor step.
+
+    fused_backward=True runs the custom VJP through the fused backward
+    kernel (_fused_edge_bwd_kernel) instead of an unfused XLA recompute;
+    embed mode always falls back to the recompute. bwd_split > 1 runs the
+    backward at chunk_edges/bwd_split rows per grid step (it carries ~2×
+    the forward's live VMEM; split if the 16 MB scoped limit trips)."""
     if not summer.padded_input:
       raise ValueError("FusedEdgeStep needs a padded-input BlockedSegmentSum")
     self._summer = summer
     self._interpret = interpret
     self.include_edge_matmul = include_edge_matmul
     self.write_edges = write_edges
+    self.fused_backward = fused_backward
+    self.bwd_split = bwd_split
     bn = summer.block_nodes
     cs = summer.chunk_edges
     if cs % 32 or bn % 32:
       raise ValueError("block sizes must be multiples of 32 for bitpacking")
+    if cs % bwd_split or (cs // bwd_split) % 32:
+      raise ValueError("bwd_split must divide chunk_edges into multiples "
+                       "of 32")
     tc = summer.total_chunks
     nb = summer.num_node_blocks
     if (summer.num_chunks == 0).any():
@@ -178,6 +316,12 @@ class FusedEdgeStep:
     first_of[0] = 1
     self.block_of = block_of
     self.first_of = first_of
+    # Scalar maps for the (possibly split) backward grid: sub-chunk i of
+    # chunk c keeps c's block; only c's FIRST sub-chunk may init dgr.
+    self.bwd_block_of = np.repeat(block_of, bwd_split).astype(np.int32)
+    fob = np.zeros(tc * bwd_split, np.int32)
+    fob[np.arange(tc) * bwd_split] = first_of
+    self.bwd_first_of = fob
 
     # Per-chunk one-hot membership masks, bitpacked in both orientations
     # (shared with the plain aggregation kernel).
@@ -270,15 +414,13 @@ class FusedEdgeStep:
         pl.BlockSpec((cs, C), lambda c, bo, fo: (c, 0)),       # gs
         pl.BlockSpec((1, cs, bn // 32),
                      lambda c, bo, fo: (c, 0, 0)),             # maskt
-        pl.BlockSpec((1, bn, cs // 32),
-                     lambda c, bo, fo: (c, 0, 0)),             # mask
         pl.BlockSpec((bn, C), lambda c, bo, fo: (bo[c], 0)),   # gr
     ]
-    if masks is None:
-      mask, mask_t = jnp.asarray(self.mask), jnp.asarray(self.mask_t)
-    else:
-      mask, mask_t = masks
-    args = [e_pad.astype(dtype), gs.astype(dtype), mask_t, mask,
+    # Only the [cs, bn] orientation is needed: the aggregation contracts it
+    # transposed on the MXU (the (mask, mask_t) tuple interface is kept for
+    # the graph_statics plumbing shared with BlockedSegmentSum).
+    mask_t = masks[1] if masks is not None else jnp.asarray(self.mask_t)
+    args = [e_pad.astype(dtype), gs.astype(dtype), mask_t,
             gr_pad.astype(dtype)]
     if embed_weights is not None:
       ew0, eb0, ew1, eb1 = embed_weights
@@ -326,6 +468,105 @@ class FusedEdgeStep:
       return eout, agg[:s.num_nodes]
     (agg,) = outs
     return agg[:s.num_nodes]
+
+  def _backward(self, e_pad, gs, gr_pad, we, b0, w1, b1, scale, d_eout,
+                d_agg, masks, interpret):
+    """Fused backward pass (see _fused_edge_bwd_kernel). Returns
+    (de, dgs, dgr, dwe, db0, dw1, db1, dscale, doff) with dgr/weight grads
+    in f32; de/dgs in the activation dtype."""
+    s = self._summer
+    cs, bn = s.chunk_edges, s.block_nodes
+    tc, nb = s.total_chunks, s.num_node_blocks
+    L, C = e_pad.shape
+    if interpret is None:
+      interpret = jax.default_backend() != "tpu"
+    dtype = gs.dtype
+    split = self.bwd_split
+    csb = cs // split
+    tcb = tc * split
+
+    mask_t = masks[1] if masks is not None else jnp.asarray(self.mask_t)
+    maskt_b = mask_t.reshape(tcb, csb, bn // 32)
+    d_agg_pad = jnp.pad(
+        d_agg.astype(jnp.float32), ((0, nb * bn - d_agg.shape[0]), (0, 0)))
+
+    kernel = functools.partial(
+        _fused_edge_bwd_kernel, cs=csb, bn=bn,
+        has_we=self.include_edge_matmul, write_eout=self.write_edges)
+    in_specs = [
+        pl.BlockSpec((csb, C), lambda c, bo, fo: (c, 0)),      # e
+        pl.BlockSpec((csb, C), lambda c, bo, fo: (c, 0)),      # gs
+        pl.BlockSpec((1, csb, bn // 32),
+                     lambda c, bo, fo: (c, 0, 0)),             # maskt
+        pl.BlockSpec((bn, C), lambda c, bo, fo: (bo[c], 0)),   # gr
+    ]
+    args = [e_pad.astype(dtype), gs.astype(dtype), maskt_b,
+            gr_pad.astype(dtype)]
+
+    def row(x):
+      return x.reshape(1, C)
+
+    if self.include_edge_matmul:
+      in_specs += [
+          pl.BlockSpec((C, C), lambda c, bo, fo: (0, 0)),      # we
+          pl.BlockSpec((1, C), lambda c, bo, fo: (0, 0)),      # b0
+      ]
+      args += [we.astype(dtype), row(b0)]
+    in_specs += [
+        pl.BlockSpec((C, C), lambda c, bo, fo: (0, 0)),        # w1
+        pl.BlockSpec((1, C), lambda c, bo, fo: (0, 0)),        # b1
+        pl.BlockSpec((1, C), lambda c, bo, fo: (0, 0)),        # scale
+    ]
+    args += [w1.astype(dtype), row(b1), row(scale)]
+    if self.write_edges:
+      in_specs.append(pl.BlockSpec((csb, C), lambda c, bo, fo: (c, 0)))
+      args.append(d_eout)
+    in_specs.append(pl.BlockSpec((bn, C), lambda c, bo, fo: (bo[c], 0)))
+    args.append(d_agg_pad)
+
+    out_specs = [
+        pl.BlockSpec((csb, C), lambda c, bo, fo: (c, 0)),      # de
+        pl.BlockSpec((csb, C), lambda c, bo, fo: (c, 0)),      # dgs
+        pl.BlockSpec((bn, C), lambda c, bo, fo: (bo[c], 0)),   # dgr
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((L, C), e_pad.dtype),
+        jax.ShapeDtypeStruct((L, C), gs.dtype),
+        jax.ShapeDtypeStruct((nb * bn, C), jnp.float32),
+    ]
+    if self.include_edge_matmul:
+      out_specs += [
+          pl.BlockSpec((C, C), lambda c, bo, fo: (0, 0)),      # dwe
+          pl.BlockSpec((1, C), lambda c, bo, fo: (0, 0)),      # db0
+      ]
+      out_shape += [jax.ShapeDtypeStruct((C, C), jnp.float32),
+                    jax.ShapeDtypeStruct((1, C), jnp.float32)]
+    out_specs += [
+        pl.BlockSpec((C, C), lambda c, bo, fo: (0, 0)),        # dw1
+        pl.BlockSpec((1, C), lambda c, bo, fo: (0, 0)),        # db1
+        pl.BlockSpec((1, C), lambda c, bo, fo: (0, 0)),        # dscale
+        pl.BlockSpec((1, C), lambda c, bo, fo: (0, 0)),        # doff
+    ]
+    out_shape += [jax.ShapeDtypeStruct((C, C), jnp.float32)] + [
+        jax.ShapeDtypeStruct((1, C), jnp.float32)] * 3
+
+    outs = pl.pallas_call(
+        kernel,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(tcb,),
+            in_specs=in_specs,
+            out_specs=out_specs,
+        ),
+        out_shape=tuple(out_shape),
+        interpret=interpret,
+    )(jnp.asarray(self.bwd_block_of), jnp.asarray(self.bwd_first_of), *args)
+    it = iter(outs)
+    de, dgs, dgr = next(it), next(it), next(it)
+    dwe = next(it) if self.include_edge_matmul else None
+    db0 = next(it) if self.include_edge_matmul else None
+    dw1, db1, dscale, doff = next(it), next(it), next(it), next(it)
+    return de, dgs, dgr, dwe, db0, dw1, db1, dscale, doff
 
   def _reference_math(self, e_pad, gs, gr_pad, we, b0, w1, b1, scale,
                       offset, embed_weights=None):
@@ -396,22 +637,42 @@ def _fes_fwd(e_pad, gs, gr_pad, we, b0, w1, b1, scale, offset, masks,
              embed_weights, holder, interpret):
   out = holder.step._forward(e_pad, gs, gr_pad, we, b0, w1, b1, scale,
                              offset, masks, embed_weights, interpret)
-  return out, (e_pad, gs, gr_pad, we, b0, w1, b1, scale, offset,
+  # masks ride in the residuals so the backward kernel's bitpacked mask
+  # arrives as a jit arg, not an HLO constant (rig rule 8).
+  return out, (e_pad, gs, gr_pad, we, b0, w1, b1, scale, offset, masks,
                embed_weights)
 
 
 def _fes_bwd(holder, interpret, residuals, grads):
-  # Exact backward via XLA autodiff of the reference math (recompute).
-  del interpret
-  (e_pad, gs, gr_pad, we, b0, w1, b1, scale, offset,
+  step = holder.step
+  (e_pad, gs, gr_pad, we, b0, w1, b1, scale, offset, masks,
    embed_weights) = residuals
-  _, vjp = jax.vjp(
-      lambda *args: holder.step._reference_math(*args),
-      e_pad, gs, gr_pad, we, b0, w1, b1, scale, offset, embed_weights)
-  g = vjp(grads)
-  # Cotangent order must match the primal args: ..., masks (int arrays →
-  # None), embed_weights.
-  return g[:9] + (None, g[9])
+  if embed_weights is not None or not step.fused_backward:
+    # Exact backward via XLA autodiff of the reference math (recompute) —
+    # the embed mode's VJP and an opt-out fallback.
+    _, vjp = jax.vjp(
+        lambda *args: step._reference_math(*args),
+        e_pad, gs, gr_pad, we, b0, w1, b1, scale, offset, embed_weights)
+    g = vjp(grads)
+    # Cotangent order must match the primal args: ..., masks (int arrays →
+    # None), embed_weights.
+    return g[:9] + (None, g[9])
+
+  if step.write_edges:
+    d_eout, d_agg = grads
+  else:
+    d_eout, d_agg = None, grads
+  de, dgs, dgr, dwe, db0, dw1, db1, dscale, doff = step._backward(
+      e_pad, gs, gr_pad, we, b0, w1, b1, scale, d_eout, d_agg, masks,
+      interpret)
+  has_we = step.include_edge_matmul
+  return (de.astype(e_pad.dtype), dgs.astype(gs.dtype),
+          dgr.astype(gr_pad.dtype),
+          dwe.astype(we.dtype) if has_we else jnp.zeros_like(we),
+          db0[0].astype(b0.dtype) if has_we else jnp.zeros_like(b0),
+          dw1.astype(w1.dtype), db1[0].astype(b1.dtype),
+          dscale[0].astype(scale.dtype), doff[0].astype(offset.dtype),
+          None, None)
 
 
 _fused_edge_step.defvjp(_fes_fwd, _fes_bwd)

@@ -196,6 +196,98 @@ def test_model_fused_encoder_matches_plain_batch1_and_batch2():
           rtol=5e-4, atol=5e-4, err_msg=f"batch={batch} var={n}")
 
 
+def _cotangents(step, summer, senders, e_pad, x, p, seed=7):
+  gs = (x @ p["ws"])[jnp.asarray(summer.pad_edges(senders))]
+  gr_pad = step.pad_nodes(x @ p["wr"])
+  args = (e_pad, gs, gr_pad, p["we"], p["b0"], p["w1"], p["b1"],
+          p["scale"], p["offset"])
+  rng = np.random.RandomState(seed)
+  d_eout = jnp.asarray(rng.randn(*e_pad.shape).astype(np.float32))
+  d_agg = jnp.asarray(
+      rng.randn(summer.num_nodes, e_pad.shape[1]).astype(np.float32))
+  _, vjp = jax.vjp(lambda *a: step(*a), *args)
+  if step.write_edges:
+    return vjp((d_eout, d_agg))
+  return vjp(d_agg)
+
+
+@pytest.mark.parametrize("bwd_split", [1, 2])
+def test_fused_backward_kernel_matches_recompute(bwd_split):
+  """Every cotangent (edges, gathered senders, receiver blocks, all params)
+  from the fused backward kernel must match the unfused XLA recompute."""
+  summer, _, senders, receivers, e_pad, x, p = make_setup(seed=1)
+  step_k = pallas_edge.FusedEdgeStep(summer, interpret=True,
+                                     fused_backward=True,
+                                     bwd_split=bwd_split)
+  step_r = pallas_edge.FusedEdgeStep(summer, interpret=True,
+                                     fused_backward=False)
+  gk = _cotangents(step_k, summer, senders, e_pad, x, p)
+  gr = _cotangents(step_r, summer, senders, e_pad, x, p)
+  names = ["de", "dgs", "dgr", "dwe", "db0", "dw1", "db1", "dscale", "doff"]
+  for n, a, b in zip(names, gk, gr):
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=2e-4, atol=2e-4, err_msg=n)
+
+
+def test_fused_backward_kernel_agg_only():
+  """include_edge_matmul=False + write_edges=False (grid2mesh encoder
+  variant) through the backward kernel vs recompute."""
+  summer, _, senders, receivers, e_pad, x, p = make_setup(seed=4)
+  kw = dict(interpret=True, include_edge_matmul=False, write_edges=False)
+  step_k = pallas_edge.FusedEdgeStep(summer, fused_backward=True, **kw)
+  step_r = pallas_edge.FusedEdgeStep(summer, fused_backward=False, **kw)
+  gk = _cotangents(step_k, summer, senders, e_pad, x, p)
+  gr = _cotangents(step_r, summer, senders, e_pad, x, p)
+  names = ["de", "dgs", "dgr", "dwe", "db0", "dw1", "db1", "dscale", "doff"]
+  for n, a, b in zip(names, gk, gr):
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=2e-4, atol=2e-4, err_msg=n)
+
+
+def test_processor_fused_training_grads_match_plain():
+  """fused_aggregation="processor" (fused fwd+bwd kernels for the mesh
+  processor, chunked/XLA everything else — the training config) must give
+  the same loss and learned-param gradients as the plain XLA path."""
+  from graphcast_tpu import train
+  from graphcast_tpu.data import synthetic
+  from graphcast_tpu.models.graphcast import GraphCast
+  from tests.test_graphcast_model import TINY_MODEL, TINY_TASK
+
+  inputs, targets, forcings = synthetic.make_example_batch(
+      TINY_TASK, resolution=30.0, batch=1, num_target_times=1)
+  rng = jax.random.PRNGKey(0)
+  m_plain = GraphCast(TINY_MODEL, TINY_TASK, cache_dir="",
+                      fused_aggregation=False)
+  m_fused = GraphCast(TINY_MODEL, TINY_TASK, cache_dir="",
+                      fused_aggregation="processor")
+  params = m_plain.init(rng, inputs, targets, forcings)
+  learned, statics_plain = train.partition_params(params)
+  params_fused = m_fused.attach_graph_statics(dict(learned), inputs)
+  _, statics_fused = train.partition_params(params_fused)
+  # "processor" must NOT engage the fused encode/decode.
+  assert m_fused._g2m_fused is None and m_fused._m2g_decoder is None
+  assert m_fused._mesh_gnn.fused_edge_steps is not None
+
+  def loss_of(model, statics):
+    def fn(lp):
+      loss, _ = model.loss({**lp, **statics}, rng, inputs, targets, forcings)
+      return jnp.mean(loss)  # loss is [batch]
+    return fn
+
+  l_plain, g_plain = jax.value_and_grad(loss_of(m_plain, statics_plain))(
+      learned)
+  l_fused, g_fused = jax.value_and_grad(loss_of(m_fused, statics_fused))(
+      learned)
+  np.testing.assert_allclose(float(l_fused), float(l_plain), rtol=1e-4)
+  flat_p = dict(jax.tree_util.tree_flatten_with_path(g_plain)[0])
+  flat_f = dict(jax.tree_util.tree_flatten_with_path(g_fused)[0])
+  assert flat_p.keys() == flat_f.keys()
+  for k in flat_p:
+    np.testing.assert_allclose(
+        np.asarray(flat_f[k]), np.asarray(flat_p[k]),
+        rtol=5e-4, atol=5e-4, err_msg=str(k))
+
+
 def test_empty_block_rejected():
   receivers = np.sort(np.concatenate(
       [np.zeros(50, np.int32), np.full(50, 99, np.int32)]))

@@ -38,15 +38,18 @@ def main():
       resolution=0.25, mesh_size=6, latent_size=512, gnn_msg_steps=16,
       hidden_layers=1, radius_query_fraction_edge_length=0.6)
   stddev, mean, diffs = synthetic.make_norm_stats(task)
+  # TRAIN_FUSED=processor (default) runs the 16 mesh-processor steps through
+  # the fused Pallas forward+backward kernels while keeping the chunked
+  # encode/decode whose lax.map remat bounds the backward memory; 0 = all
+  # chunked/XLA paths; 1 = all fused (the encode/decode kernels' VJPs
+  # recompute the unfused math — ~100 GB at 0.25°, OOM).
+  fused = {"0": False, "1": True, "processor": "processor"}[
+      os.environ.get("TRAIN_FUSED", "processor")]
   predictor = Autoregressive(
       InputsAndResiduals(
           Bfloat16Cast(GraphCast(model, task, decode_chunks=64,
                                  encode_chunks=50,
-                                 # Chunked paths for training: the fused
-                                 # kernels' VJP recomputes the unfused math
-                                 # (100 GB at 0.25°); lax.map chunking keeps
-                                 # the backward memory-scoped.
-                                 fused_aggregation=False,
+                                 fused_aggregation=fused,
                                  remat_processor=True)),
           stddev_by_level=stddev, mean_by_level=mean,
           diffs_stddev_by_level=diffs),
