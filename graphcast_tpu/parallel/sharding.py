@@ -36,6 +36,60 @@ def make_mesh(axis_sizes: Optional[dict[str, int]] = None,
   return Mesh(dev_array, names)
 
 
+def make_hybrid_mesh(axis_sizes: dict[str, int],
+                     dcn_axes: Optional[dict[str, int]] = None,
+                     devices: Optional[Sequence] = None) -> Mesh:
+  """Multi-slice Mesh: per-axis ICI×DCN factors (scaling past one pod slice).
+
+  ``axis_sizes`` gives each logical axis's TOTAL size; ``dcn_axes`` the
+  factor of that size carried over DCN (the slow cross-slice network) —
+  the rest rides ICI within a slice. Only weak-scaling axes (data/ensemble,
+  one gradient/loss all-reduce per step) belong on DCN; keep tp/sp axes
+  ICI-only. Mirrors the reference's implicit single-network pmap
+  (rollout.py:78-202) while extending it across slices.
+
+  On real multi-slice TPU (devices expose ``slice_index``) this delegates to
+  ``mesh_utils.create_hybrid_device_mesh``. Elsewhere (CPU test meshes,
+  single slice) it emulates the same dcn-major block arrangement: device
+  index along an axis = dcn_coord * ici_size + ici_coord.
+  """
+  if devices is None:
+    devices = jax.devices()
+  dcn_axes = dict(dcn_axes or {})
+  if unknown := set(dcn_axes) - set(axis_sizes):
+    raise ValueError(f"dcn_axes {unknown} not in axis_sizes {set(axis_sizes)}")
+  names = tuple(axis_sizes)
+  dcn_shape = tuple(dcn_axes.get(n, 1) for n in names)
+  ici_shape = []
+  for n in names:
+    total, dcn = axis_sizes[n], dcn_axes.get(n, 1)
+    if total % dcn:
+      raise ValueError(f"axis {n}: size {total} not divisible by DCN "
+                       f"factor {dcn}")
+    ici_shape.append(total // dcn)
+  ici_shape = tuple(ici_shape)
+  n_dcn = int(np.prod(dcn_shape))
+  n_ici = int(np.prod(ici_shape))
+  if n_dcn * n_ici != len(devices):
+    raise ValueError(f"mesh {axis_sizes} needs {n_dcn * n_ici} devices, "
+                     f"have {len(devices)}")
+  slice_ids = {getattr(d, "slice_index", None) for d in devices}
+  if len(slice_ids) == n_dcn and None not in slice_ids and n_dcn > 1:
+    from jax.experimental import mesh_utils
+    dev_array = mesh_utils.create_hybrid_device_mesh(
+        ici_shape, dcn_shape, devices)
+  else:
+    # Emulate create_hybrid_device_mesh's np.block arrangement with
+    # contiguous device chunks as granules ("slices").
+    granules = [np.asarray(devices[i * n_ici:(i + 1) * n_ici]
+                           ).reshape(ici_shape) for i in range(n_dcn)]
+    granule_mesh = np.arange(n_dcn).reshape(dcn_shape)
+    blocks = np.vectorize(lambda i: granules[i], otypes=[object])(
+        granule_mesh)
+    dev_array = np.block(blocks.tolist())
+  return Mesh(dev_array, names)
+
+
 def fieldset_sharding(fs: FieldSet, mesh: Mesh,
                       dim_to_axis: Optional[dict[str, str]] = None):
   """A pytree of NamedShardings for `fs`: each named dim in `dim_to_axis`

@@ -148,6 +148,65 @@ def test_tensor_parallel_forward_matches():
                                rtol=2e-2, atol=2e-2)
 
 
+def test_hybrid_mesh_arrangement():
+  """DCN-major block layout: axis index = dcn_coord * ici_size + ici_coord,
+  matching mesh_utils.create_hybrid_device_mesh's np.block arrangement."""
+  devs = jax.devices()[:8]
+  mesh = sharding_lib.make_hybrid_mesh(
+      {"batch": 4, "model": 2}, dcn_axes={"batch": 2}, devices=devs)
+  assert mesh.axis_names == ("batch", "model")
+  assert mesh.devices.shape == (4, 2)
+  # Granule g = devs[4g:4g+4] reshaped to (2, 2) occupies batch rows
+  # [2g, 2g+1]: rows 0-1 from slice 0, rows 2-3 from slice 1.
+  expected = np.asarray(devs).reshape(2, 2, 2).reshape(4, 2)
+  assert (mesh.devices == expected).all()
+
+  import pytest
+  with pytest.raises(ValueError, match="not divisible"):
+    sharding_lib.make_hybrid_mesh({"batch": 4}, dcn_axes={"batch": 3},
+                                  devices=devs[:4])
+  with pytest.raises(ValueError, match="not in axis_sizes"):
+    sharding_lib.make_hybrid_mesh({"batch": 8}, dcn_axes={"dp": 2},
+                                  devices=devs)
+  with pytest.raises(ValueError, match="devices"):
+    sharding_lib.make_hybrid_mesh({"batch": 4}, dcn_axes={"batch": 2},
+                                  devices=devs)
+
+
+def test_hybrid_mesh_train_step_matches_unsharded():
+  """dp-over-DCN x dp-over-ICI x tp train step == single-device numerics.
+
+  Emulates 2 slices x 4 chips on the 8-device CPU mesh: the batch axis
+  spans DCN x ICI (only a gradient all-reduce crosses DCN), the model axis
+  stays within a slice.
+  """
+  predictor, inputs, targets, forcings = build(num_targets=1, batch=4)
+  rng = jax.random.PRNGKey(0)
+  optimizer = optax.sgd(1e-3)
+  state = train.init_train_state(
+      predictor, optimizer, rng, inputs, targets, forcings)
+
+  mesh = sharding_lib.make_hybrid_mesh(
+      {"batch": 4, "model": 2}, dcn_axes={"batch": 2})
+  inputs_s, targets_s, forcings_s = sharding_lib.shard_fieldsets(
+      mesh, inputs, targets, forcings)
+  state = train.TrainState(
+      params=sharding_lib.shard_params_tensor_parallel(state.params, mesh),
+      opt_state=sharding_lib.replicate(state.opt_state, mesh),
+      step=state.step)
+  step = train.make_train_step(predictor, optimizer, donate=False)
+  _, loss_sharded, _ = step(state, rng, inputs_s, targets_s, forcings_s)
+
+  state_r = train.init_train_state(
+      predictor, optimizer, jax.random.PRNGKey(0), inputs, targets, forcings)
+  _, loss_unsharded, _ = step(state_r, rng, inputs, targets, forcings)
+  # TP resharding reorders the bf16 matmul reductions; the loss itself is
+  # bf16-quantized, so allow one ulp-ish of relative slack (same budget as
+  # test_tensor_parallel_forward_matches).
+  np.testing.assert_allclose(float(loss_sharded), float(loss_unsharded),
+                             rtol=1e-2)
+
+
 def test_chunked_prediction_rejects_uneven_target_times():
   """Non-equispaced target times would be silently mis-stamped (the chunk
   template re-uses the first chunk's coordinates) — must raise instead

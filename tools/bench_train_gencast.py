@@ -84,6 +84,20 @@ def main():
   print(f"gencast_train_step_{resolution}deg_mesh{mesh_size}: "
         f"{min(times):.3f} s (compile+first {compile_s:.1f}s, "
         f"loss0={loss0:.4f}, all {[round(t, 3) for t in times]})")
+  import json
+  repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+  artifact = os.path.join(
+      repo, f"BENCH_TRAIN_GENCAST_{str(resolution).replace('.', 'p')}.json")
+  with open(artifact, "w") as f:
+    json.dump({
+        "metric": f"gencast_train_step_{resolution}deg_mesh{mesh_size}",
+        "value": round(min(times), 3), "unit": "s",
+        "compile_s": round(compile_s, 1),
+        "note": ("diffusion loss+grads+AdamW on ONE 16 GB v5e; reference "
+                 "ships no training path (external JAXline); reproduce with "
+                 f"python tools/bench_train_gencast.py {resolution} "
+                 f"{mesh_size}")}, f)
+  print(f"# wrote {artifact}")
 
 
 if __name__ == "__main__":
