@@ -54,11 +54,10 @@ def _swish(x):
   return x * (one / (one + jnp.exp(-x)))
 
 
-def _ln(y, scale, offset):
-  mean = jnp.mean(y, axis=-1, keepdims=True)
-  var = jnp.mean(jnp.square(y - mean), axis=-1, keepdims=True)
-  yn = (y - mean) * jax.lax.rsqrt(var + LN_EPS)
-  return yn * scale + offset
+def _ln(y, scale, offset, mode="vpu"):
+  from graphcast_tpu.ops.pallas_edge import _ln_moments
+  yc, rstd = _ln_moments(y, mode)
+  return yc * rstd * scale + offset
 
 
 def _mm(a, b):
@@ -66,7 +65,7 @@ def _mm(a, b):
                              preferred_element_type=jnp.float32)
 
 
-def _decoder_kernel(*refs, compact, bn, edge_matmul, embed):
+def _decoder_kernel(*refs, compact, bn, edge_matmul, embed, ln_stats="vpu"):
   it = iter(refs)
   const_ref = next(it)
   if embed:
@@ -110,9 +109,9 @@ def _decoder_kernel(*refs, compact, bn, edge_matmul, embed):
           jnp.float32)
       hh = _swish(x.astype(g.dtype))
       y = _mm(hh, ew1_ref[:]) + eb1_ref[0][None].astype(jnp.float32)
-      mean = jnp.mean(y, axis=-1, keepdims=True)
-      var = jnp.mean(jnp.square(y - mean), axis=-1, keepdims=True)
-      en = ((y - mean) * jax.lax.rsqrt(var + LN_EPS)).astype(g.dtype)
+      from graphcast_tpu.ops.pallas_edge import _ln_moments
+      eyc, erstd = _ln_moments(y, ln_stats)
+      en = (eyc * erstd).astype(g.dtype)
       x0 = _mm(en, we_ref[:])
       x0 += b0_ref[0][None].astype(jnp.float32)
     elif edge_matmul:
@@ -132,14 +131,14 @@ def _decoder_kernel(*refs, compact, bn, edge_matmul, embed):
     h = _swish(x0.astype(g.dtype))
     y = _mm(h, w1_ref[:]) + b1_ref[0][None].astype(jnp.float32)
     agg += _ln(y, es_ref[0][None].astype(jnp.float32),
-               eo_ref[0][None].astype(jnp.float32))
+               eo_ref[0][None].astype(jnp.float32), ln_stats)
 
   x = _mm(g, wng_ref[:]) + _mm(agg.astype(g.dtype), wna_ref[:])
   x += bn0_ref[0][None].astype(jnp.float32)
   h = _swish(x.astype(g.dtype))
   y = _mm(h, wn1_ref[:]) + bn1_ref[0][None].astype(jnp.float32)
   upd = _ln(y, ns_ref[0][None].astype(jnp.float32),
-            no_ref[0][None].astype(jnp.float32))
+            no_ref[0][None].astype(jnp.float32), ln_stats)
   res = (g.astype(jnp.float32) + upd).astype(g.dtype)
 
   x = _mm(res, wd0_ref[:]) + bd0_ref[0][None].astype(jnp.float32)
@@ -162,7 +161,14 @@ class FusedMesh2GridDecoder:
   def __init__(self, senders: np.ndarray, num_grid_nodes: int,
                num_outputs: int, block_nodes: int = 256,
                interpret: Optional[bool] = None,
-               compact_gather: Optional[bool] = None):
+               compact_gather: Optional[bool] = None,
+               ln_stats: Optional[str] = None):
+    if ln_stats is None:
+      import os
+      ln_stats = os.environ.get("GC_LN_STATS", "vpu")
+    if ln_stats not in ("vpu", "mxu", "off"):
+      raise ValueError(f"unknown ln_stats {ln_stats!r}")
+    self.ln_stats = ln_stats
     senders = np.asarray(senders, np.int32)
     if senders.shape[0] != 3 * num_grid_nodes:
       raise ValueError("mesh2grid must have exactly 3 edges per grid node")
@@ -330,8 +336,12 @@ class FusedMesh2GridDecoder:
           pl.BlockSpec((1, C), lambda i: (0, 0)),            # b0
       ]
       em_args += [w["we"].astype(dtype), w["b0"].reshape(1, C).astype(dtype)]
+    ln_stats = self.ln_stats
+    if ln_stats == "mxu" and C % 128:
+      ln_stats = "vpu"        # pltpu.repeat lane tiling needs whole vregs
     kernel = functools.partial(_decoder_kernel, compact=self.compact, bn=bn,
-                               edge_matmul=edge_matmul, embed=embed)
+                               edge_matmul=edge_matmul, embed=embed,
+                               ln_stats=ln_stats)
     out = pl.pallas_call(
         kernel,
         grid=(nb,),

@@ -50,8 +50,39 @@ def _swish(x):
   return x * (one / (one + jnp.exp(-x)))
 
 
+def _row_mean(x, mode):
+  """Per-row mean of x [R, C] (f32), broadcastable against x.
+
+  mode="vpu": jnp.mean — Mosaic lowers the lane reduction to a shuffle
+  tree on the VPU. mode="mxu": contract against a ones [C, 128] matrix on
+  the MXU (every output lane holds the row sum) and lane-tile the [R, 128]
+  result back to [R, C] with pltpu.repeat — the kernel is VPU-bound, so
+  moving the reduction to the (idle) MXU is free.
+  """
+  C = x.shape[-1]
+  if mode == "mxu":
+    ones = jnp.ones((C, 128), jnp.float32)
+    s = jax.lax.dot_general(x, ones, (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    return pltpu.repeat(s, C // 128, axis=1) * (1.0 / C)
+  return jnp.mean(x, axis=-1, keepdims=True)
+
+
+def _ln_moments(y, mode):
+  """LayerNorm row moments: returns (y - mean, rsqrt(var + eps)).
+
+  mode="off" skips the statistics entirely (identity mean/var) — wrong
+  numerics, profiling ceiling only.
+  """
+  if mode == "off":
+    return y, jnp.ones((), jnp.float32)
+  yc = y - _row_mean(y, mode)
+  var = _row_mean(yc * yc, mode)
+  return yc, jax.lax.rsqrt(var + LN_EPS)
+
+
 def _fused_edge_kernel(block_of, first_of, *refs, cs, bn, has_we,
-                       write_eout, embed):
+                       write_eout, embed, ln_stats):
   c = pl.program_id(0)
   it = iter(refs)
   e_ref = next(it)
@@ -90,9 +121,8 @@ def _fused_edge_kernel(block_of, first_of, *refs, cs, bn, has_we,
         hh, ew1_ref[:], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)
     y0 += eb1_ref[0][None].astype(jnp.float32)
-    emean = jnp.mean(y0, axis=-1, keepdims=True)
-    evar = jnp.mean(jnp.square(y0 - emean), axis=-1, keepdims=True)
-    e = ((y0 - emean) * jax.lax.rsqrt(evar + LN_EPS)).astype(gs_ref.dtype)
+    eyc, erstd = _ln_moments(y0, ln_stats)
+    e = (eyc * erstd).astype(gs_ref.dtype)
   if has_we:
     x0 = jax.lax.dot_general(
         e, we_ref[:], (((1,), (0,)), ((), ())),
@@ -119,9 +149,8 @@ def _fused_edge_kernel(block_of, first_of, *refs, cs, bn, has_we,
       preferred_element_type=jnp.float32)
   y += b1_ref[0][None].astype(jnp.float32)
 
-  mean = jnp.mean(y, axis=-1, keepdims=True)
-  var = jnp.mean(jnp.square(y - mean), axis=-1, keepdims=True)
-  yn = (y - mean) * jax.lax.rsqrt(var + LN_EPS)
+  yc, rstd = _ln_moments(y, ln_stats)
+  yn = yc * rstd
   yn = yn * scale_ref[0][None].astype(jnp.float32)
   yn = yn + off_ref[0][None].astype(jnp.float32)
 
@@ -137,7 +166,7 @@ def _fused_edge_kernel(block_of, first_of, *refs, cs, bn, has_we,
 
 
 def _fused_edge_bwd_kernel(block_of, first_of, *refs, cs, bn, has_we,
-                           write_eout):
+                           write_eout, ln_stats):
   """Backward of _fused_edge_kernel (non-embed modes): recompute the chunk's
   forward pipeline from its inputs, then emit all input/param grads in the
   same single HBM pass. Weight grads accumulate in constant-index f32 output
@@ -209,10 +238,8 @@ def _fused_edge_bwd_kernel(block_of, first_of, *refs, cs, bn, has_we,
       h, w1_ref[:], (((1,), (0,)), ((), ())),
       preferred_element_type=jnp.float32)
   y += b1_ref[0][None].astype(jnp.float32)
-  mean = jnp.mean(y, axis=-1, keepdims=True)
-  var = jnp.mean(jnp.square(y - mean), axis=-1, keepdims=True)
-  rstd = jax.lax.rsqrt(var + LN_EPS)
-  yh = (y - mean) * rstd
+  yc, rstd = _ln_moments(y, ln_stats)
+  yh = yc * rstd
 
   # --- grads ---
   # d(yn): the aggregation broadcast (agg_b = onehot_tᵀ @ yn ⇒ dyn =
@@ -226,9 +253,12 @@ def _fused_edge_bwd_kernel(block_of, first_of, *refs, cs, bn, has_we,
   dscale_ref[:] += jnp.sum(dyn * yh, axis=0, keepdims=True)
   doff_ref[:] += jnp.sum(dyn, axis=0, keepdims=True)
   dyh = dyn * scale_ref[0][None].astype(jnp.float32)
-  m1 = jnp.mean(dyh, axis=-1, keepdims=True)
-  m2 = jnp.mean(dyh * yh, axis=-1, keepdims=True)
-  dy = rstd * (dyh - m1 - yh * m2)
+  if ln_stats == "off":
+    dy = dyh
+  else:
+    m1 = _row_mean(dyh, ln_stats)
+    m2 = _row_mean(dyh * yh, ln_stats)
+    dy = rstd * (dyh - m1 - yh * m2)
   db1_ref[:] += jnp.sum(dy, axis=0, keepdims=True)
   dyd = dy.astype(dtype)
   dw1_ref[:] += jax.lax.dot_general(
@@ -273,7 +303,8 @@ class FusedEdgeStep:
                include_edge_matmul: bool = True,
                write_edges: bool = True,
                fused_backward: bool = True,
-               bwd_split: int = 1):
+               bwd_split: int = 1,
+               ln_stats: Optional[str] = None):
     """include_edge_matmul=False: the edge input rows are the hoisted static
     first-layer part (embed(edge_feats) @ We + b0) — skip the We matmul and
     bias. write_edges=False: no updated-edge-latent output (the grid2mesh
@@ -284,7 +315,18 @@ class FusedEdgeStep:
     kernel (_fused_edge_bwd_kernel) instead of an unfused XLA recompute;
     embed mode always falls back to the recompute. bwd_split > 1 runs the
     backward at chunk_edges/bwd_split rows per grid step (it carries ~2×
-    the forward's live VMEM; split if the 16 MB scoped limit trips)."""
+    the forward's live VMEM; split if the 16 MB scoped limit trips).
+
+    ln_stats selects how the LayerNorm row statistics are computed inside
+    the kernels: "vpu" (jnp.mean lane reductions), "mxu" (ones-matmul on
+    the MXU, see _row_mean), or "off" (skip the stats — profiling ceiling
+    only, wrong numerics). Default: $GC_LN_STATS or "vpu"."""
+    if ln_stats is None:
+      import os
+      ln_stats = os.environ.get("GC_LN_STATS", "vpu")
+    if ln_stats not in ("vpu", "mxu", "off"):
+      raise ValueError(f"unknown ln_stats {ln_stats!r}")
+    self.ln_stats = ln_stats
     if not summer.padded_input:
       raise ValueError("FusedEdgeStep needs a padded-input BlockedSegmentSum")
     self._summer = summer
@@ -405,10 +447,13 @@ class FusedEdgeStep:
     def row(x):  # [C] params → [1, C] blocks
       return x.reshape(1, C)
 
+    ln_stats = self.ln_stats
+    if ln_stats == "mxu" and C % 128:
+      ln_stats = "vpu"        # pltpu.repeat tiling needs whole vregs
     kernel = functools.partial(
         _fused_edge_kernel, cs=cs, bn=bn,
         has_we=self.include_edge_matmul, write_eout=self.write_edges,
-        embed=embed_weights is not None)
+        embed=embed_weights is not None, ln_stats=ln_stats)
     in_specs = [
         pl.BlockSpec((cs, F), lambda c, bo, fo: (c, 0)),       # e / ef
         pl.BlockSpec((cs, C), lambda c, bo, fo: (c, 0)),       # gs
@@ -490,9 +535,13 @@ class FusedEdgeStep:
     d_agg_pad = jnp.pad(
         d_agg.astype(jnp.float32), ((0, nb * bn - d_agg.shape[0]), (0, 0)))
 
+    ln_stats = self.ln_stats
+    if ln_stats == "mxu" and C % 128:
+      ln_stats = "vpu"
     kernel = functools.partial(
         _fused_edge_bwd_kernel, cs=csb, bn=bn,
-        has_we=self.include_edge_matmul, write_eout=self.write_edges)
+        has_we=self.include_edge_matmul, write_eout=self.write_edges,
+        ln_stats=ln_stats)
     in_specs = [
         pl.BlockSpec((csb, C), lambda c, bo, fo: (c, 0)),      # e
         pl.BlockSpec((csb, C), lambda c, bo, fo: (c, 0)),      # gs

@@ -9,11 +9,11 @@ from graphcast_tpu.ops.pallas_decoder import FusedMesh2GridDecoder
 
 
 def _random_setup(G=20, M=30, C=128, num_outputs=5, bn=8, dtype=jnp.float32,
-                  seed=0):
+                  seed=0, **dec_kw):
   rs = np.random.RandomState(seed)
   senders = rs.randint(0, M, size=3 * G).astype(np.int32)
   dec = FusedMesh2GridDecoder(senders, G, num_outputs, block_nodes=bn,
-                              interpret=True)
+                              interpret=True, **dec_kw)
   grid = jnp.asarray(rs.randn(G, C), dtype)
   mesh_proj = jnp.asarray(rs.randn(M, C), dtype)
   const = jnp.asarray(rs.randn(3 * G, C), dtype)
@@ -54,6 +54,18 @@ def test_kernel_matches_reference_math_bf16():
   np.testing.assert_allclose(
       np.asarray(out, np.float32), np.asarray(ref, np.float32),
       rtol=0.05, atol=0.05)
+
+
+def test_mxu_ln_stats_matches_reference():
+  """ln_stats="mxu" (ones-matmul LayerNorm statistics) decoder output must
+  match the reference math."""
+  dec, grid, mesh_proj, const_slot, weights = _random_setup(
+      seed=2, ln_stats="mxu")
+  assert dec.ln_stats == "mxu"
+  out = dec(grid, mesh_proj, const_slot, weights)
+  ref = dec._reference_math(grid, mesh_proj, const_slot, weights)
+  np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                             rtol=2e-5, atol=2e-5)
 
 
 def test_compact_gather_matches_direct():

@@ -288,6 +288,29 @@ def test_processor_fused_training_grads_match_plain():
         rtol=5e-4, atol=5e-4, err_msg=str(k))
 
 
+def test_mxu_ln_stats_matches_vpu():
+  """ln_stats="mxu" (ones-matmul LayerNorm statistics) must match the
+  default VPU-reduction statistics in forward AND through the fused
+  backward kernel."""
+  summer, step_v, senders, receivers, e_pad, x, p = make_setup(seed=5)
+  step_m = pallas_edge.FusedEdgeStep(summer, interpret=True, ln_stats="mxu")
+  assert step_v.ln_stats == "vpu"
+
+  eout_v, agg_v = run_fused(step_v, senders, e_pad, x, p)
+  eout_m, agg_m = run_fused(step_m, senders, e_pad, x, p)
+  np.testing.assert_allclose(np.asarray(eout_m), np.asarray(eout_v),
+                             rtol=2e-5, atol=2e-5)
+  np.testing.assert_allclose(np.asarray(agg_m), np.asarray(agg_v),
+                             rtol=2e-4, atol=2e-4)
+
+  gm = _cotangents(step_m, summer, senders, e_pad, x, p)
+  gv = _cotangents(step_v, summer, senders, e_pad, x, p)
+  names = ["de", "dgs", "dgr", "dwe", "db0", "dw1", "db1", "dscale", "doff"]
+  for n, a, b in zip(names, gm, gv):
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=2e-4, atol=2e-4, err_msg=n)
+
+
 def test_empty_block_rejected():
   receivers = np.sort(np.concatenate(
       [np.zeros(50, np.int32), np.full(50, 99, np.int32)]))
