@@ -199,14 +199,16 @@ class Autoregressive(WrapperPredictor):
       return self._predictor.loss(params, rng, inputs, targets, forcings,
                                   **kwargs)
     (loss, diagnostics), _ = self._loss_scan(
-        params, rng, inputs, targets, forcings, **kwargs)
+        params, rng, inputs, targets, forcings, want_predictions=False,
+        **kwargs)
     return loss, diagnostics
 
   def loss_and_predictions(self, params, rng, inputs, targets, forcings,
                            **kwargs):
     return self._loss_scan(params, rng, inputs, targets, forcings, **kwargs)
 
-  def _loss_scan(self, params, rng, inputs, targets, forcings, **kwargs):
+  def _loss_scan(self, params, rng, inputs, targets, forcings,
+                 want_predictions=True, **kwargs):
     # NB: unlike the inference rollouts above, the loss scan must NOT hoist
     # precompute_step_statics: the hoisted [E, 512] static edge latents are
     # computed FROM params, so under grad each rematerialized step saves its
@@ -250,8 +252,11 @@ class Autoregressive(WrapperPredictor):
               params, step_rng, all_inputs, targets_t, forcings_t, **kwargs))
       next_frame = FieldSet.merge([predictions, forcings_t])
       next_window = _update_window(window, next_frame)
-      pred_ys = {n: predictions[n].isel("time", 0).data
-                 for n in predictions.var_names}
+      # loss() discards predictions: emit no per-step ys at all rather than
+      # trusting DCE to prune the [T, ...] stacks out of the checkpointed
+      # scan's backward.
+      pred_ys = ({n: predictions[n].isel("time", 0).data
+                  for n in predictions.var_names} if want_predictions else {})
       return next_window, (loss, diagnostics, pred_ys)
 
     if self._gradient_checkpointing and num_steps > 1:
@@ -266,6 +271,8 @@ class Autoregressive(WrapperPredictor):
     loss = jnp.mean(losses, axis=0)
     diagnostics = {k: jnp.mean(v, axis=0) for k, v in diagnostics.items()}
 
+    if not want_predictions:
+      return (loss, diagnostics), None
     fields = {}
     for name in targets.var_names:
       tf = targets[name]
