@@ -83,18 +83,29 @@ class Autoregressive(WrapperPredictor):
   def __init__(self, predictor: Predictor,
                noise_level: Optional[float] = None,
                gradient_checkpointing: bool = False,
-               loss_scan_unroll: int = 1):
+               loss_scan_unroll: int = 1,
+               loss_scan_block: int = 1):
     """``loss_scan_unroll``: unroll factor for the AR-loss scan (clamped to
     the number of AR steps). At 0.25° the fully-unrolled 2-step backward
     packs ~2 GB tighter than the while-loop form (7% vs 32-34% buffer
     fragmentation — the scan's hoisted double-buffered allocations pack
     badly), which is the difference between fitting a 16 GB chip and not;
     beyond 2 unrolled steps XLA overlaps the per-step backward recomputes
-    and memory grows ~linearly, so keep this at 2-4."""
+    and memory grows ~linearly, so keep this at 2-4.
+
+    ``loss_scan_block``: two-level checkpointing for the AR-loss scan.
+    With block k > 1 (requires gradient_checkpointing and k | num_steps),
+    steps are grouped into blocks of k; jax.checkpoint wraps each BLOCK
+    (so the scan saves only one carry window per k steps — the [2-frame,
+    0.25°] window is ~0.8 GB each) and the per-step checkpoints inside the
+    block bound the transient during the block's backward recompute. Same
+    math, +1 extra forward recompute per step in exchange for the carry
+    stacks."""
     super().__init__(predictor)
     self._noise_level = noise_level
     self._gradient_checkpointing = gradient_checkpointing
     self._loss_scan_unroll = loss_scan_unroll
+    self._loss_scan_block = loss_scan_block
 
   def init(self, rng, inputs, targets_template, forcings, **kwargs):
     # The inner one-step predictor only ever sees single-timestep targets
@@ -263,8 +274,34 @@ class Autoregressive(WrapperPredictor):
       step = jax.checkpoint(step)
 
     unroll = max(1, min(self._loss_scan_unroll, num_steps))
-    _, (losses, diagnostics, pred_ys) = jax.lax.scan(
-        step, inputs, (rngs, targets_xs, forcings_xs), unroll=unroll)
+    xs = (rngs, targets_xs, forcings_xs)
+    k = self._loss_scan_block
+    if (k > 1 and self._gradient_checkpointing and num_steps > k
+        and num_steps % k == 0):
+      # Two-level checkpointing: scan over blocks of k checkpointed steps,
+      # with the block itself checkpointed — only block-boundary carries
+      # are saved across the scan.
+      nb = num_steps // k
+
+      def block(window, xs_block):
+        ys = []
+        for i in range(k):
+          xs_i = jax.tree_util.tree_map(lambda x, i=i: x[i], xs_block)
+          window, y = step(window, xs_i)
+          ys.append(y)
+        return window, jax.tree_util.tree_map(
+            lambda *a: jnp.stack(a), *ys)
+
+      block = jax.checkpoint(block)
+      xs_b = jax.tree_util.tree_map(
+          lambda x: x.reshape(nb, k, *x.shape[1:]), xs)
+      _, ys_b = jax.lax.scan(block, inputs, xs_b,
+                             unroll=max(1, min(unroll // k, nb)))
+      losses, diagnostics, pred_ys = jax.tree_util.tree_map(
+          lambda x: x.reshape(num_steps, *x.shape[2:]), ys_b)
+    else:
+      _, (losses, diagnostics, pred_ys) = jax.lax.scan(
+          step, inputs, xs, unroll=unroll)
 
     # Average per-timestep losses over time
     # (reference: autoregressive.py:303-312).

@@ -356,3 +356,46 @@ def test_loss_scan_unroll_invariance():
     np.testing.assert_allclose(
         np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7,
         err_msg=f"{jax.tree_util.keystr(path)}")
+
+
+def test_loss_scan_block_invariance():
+  """loss_scan_block (two-level AR checkpointing) is a memory knob: loss
+  and grads must be identical to the per-step-checkpointed scan."""
+  from graphcast_tpu.data import synthetic as synth
+  from graphcast_tpu.models.graphcast import GraphCast
+  from graphcast_tpu.wrappers import (Autoregressive, Bfloat16Cast,
+                                      InputsAndResiduals)
+
+  inputs, targets, forcings = synth.make_example_batch(
+      TINY_TASK, resolution=30.0, batch=1, num_target_times=4)
+  stddev, mean, diffs = synth.make_norm_stats(TINY_TASK)
+
+  def build_block(k):
+    return Autoregressive(
+        InputsAndResiduals(
+            Bfloat16Cast(GraphCast(TINY_MODEL, TINY_TASK, cache_dir="")),
+            stddev_by_level=stddev, mean_by_level=mean,
+            diffs_stddev_by_level=diffs),
+        gradient_checkpointing=True, loss_scan_unroll=4, loss_scan_block=k)
+
+  rng = jax.random.PRNGKey(0)
+  p1 = build_block(1)
+  params = p1.init(rng, inputs, targets, forcings)
+  trainable, statics = train.partition_params(params)
+
+  def loss_of(model):
+    def fn(trainable):
+      loss, _ = model.loss(train.merge_params(trainable, statics), rng,
+                           inputs, targets, forcings)
+      return jnp.mean(loss)
+    return fn
+
+  l1, g1 = jax.value_and_grad(loss_of(p1))(trainable)
+  l2, g2 = jax.value_and_grad(loss_of(build_block(2)))(trainable)
+  np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+  for (path, a), (_, b) in zip(
+      jax.tree_util.tree_flatten_with_path(g1)[0],
+      jax.tree_util.tree_flatten_with_path(g2)[0]):
+    np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7,
+        err_msg=f"{jax.tree_util.keystr(path)}")

@@ -54,7 +54,8 @@ def main():
           stddev_by_level=stddev, mean_by_level=mean,
           diffs_stddev_by_level=diffs),
       gradient_checkpointing=True,
-      loss_scan_unroll=int(os.environ.get("AR_UNROLL", "4")))
+      loss_scan_unroll=int(os.environ.get("AR_UNROLL", "4")),
+      loss_scan_block=int(os.environ.get("AR_BLOCK", "1")))
 
   inputs, targets, forcings = synthetic.make_example_batch(
       task, resolution=0.25, batch=1, num_target_times=ar_steps)
