@@ -39,6 +39,9 @@ def main():
   parser.add_argument("--members", type=int, default=4)
   parser.add_argument("--attention", type=str, default="triblockdiag_mha")
   parser.add_argument("--noise-levels", type=int, default=8)
+  parser.add_argument("--fused", action="store_true",
+                      help="force the fused Pallas denoiser kernels "
+                           "(default: auto — on for TPU backends only)")
   args = parser.parse_args()
 
   task = gencast.TASK
@@ -58,7 +61,8 @@ def main():
       sampler_config=gencast.SamplerConfig(
           num_noise_levels=args.noise_levels),
       noise_config=gencast.NoiseConfig(),
-      noise_encoder_config=NoiseEncoderConfig())
+      noise_encoder_config=NoiseEncoderConfig(),
+      fused_aggregation=True if args.fused else None)
 
   stddev, mean, diffs = synthetic.make_norm_stats(task)
   predictor = NaNCleaner(
@@ -71,6 +75,10 @@ def main():
       time_step_hours=12)
   rng = jax.random.PRNGKey(0)
   params = predictor.init(rng, inputs, targets, forcings)
+  if args.fused:
+    arch = model._denoiser._architecture
+    print(f"fused kernels: grid2mesh={arch._g2m_fused is not None} "
+          f"mesh2grid={arch._m2g_decoder is not None}")
 
   @jax.jit
   def predictor_fn(rng, inputs, targets_template, forcings):

@@ -166,20 +166,27 @@ def _fused_edge_kernel(block_of, first_of, *refs, cs, bn, has_we,
 
 
 def _fused_edge_bwd_kernel(block_of, first_of, *refs, cs, bn, has_we,
-                           write_eout, ln_stats):
-  """Backward of _fused_edge_kernel (non-embed modes): recompute the chunk's
-  forward pipeline from its inputs, then emit all input/param grads in the
-  same single HBM pass. Weight grads accumulate in constant-index f32 output
-  blocks (the TPU grid is sequential); dgr flushes per node block exactly
-  like the forward aggregation. offset is not an input (it only contributes
-  doff = Σ dyn), but b1 is: LayerNorm is over channels, so the per-channel
-  bias does NOT cancel out of yh."""
+                           write_eout, embed, ln_stats):
+  """Backward of _fused_edge_kernel: recompute the chunk's forward pipeline
+  from its inputs, then emit all input/param grads in the same single HBM
+  pass. Weight grads accumulate in constant-index f32 output blocks (the TPU
+  grid is sequential); dgr flushes per node block exactly like the forward
+  aggregation. offset is not an input (it only contributes doff = Σ dyn),
+  but b1 is: LayerNorm is over channels, so the per-channel bias does NOT
+  cancel out of yh. With ``embed`` the chunk's embed MLP + parameter-free LN
+  chain is recomputed and differentiated in-kernel too (dew0/deb0/dew1/deb1
+  accumulators; de then holds the raw-feature grads)."""
   c = pl.program_id(0)
   it = iter(refs)
   e_ref = next(it)
   gs_ref = next(it)
   maskt_ref = next(it)
   gr_ref = next(it)
+  if embed:
+    ew0_ref = next(it)
+    eb0_ref = next(it)
+    ew1_ref = next(it)
+    eb1_ref = next(it)
   if has_we:
     we_ref = next(it)
     b0_ref = next(it)
@@ -191,6 +198,11 @@ def _fused_edge_bwd_kernel(block_of, first_of, *refs, cs, bn, has_we,
   de_ref = next(it)
   dgs_ref = next(it)
   dgr_ref = next(it)
+  if embed:
+    dew0_ref = next(it)
+    deb0_ref = next(it)
+    dew1_ref = next(it)
+    deb1_ref = next(it)
   if has_we:
     dwe_ref = next(it)
     db0_ref = next(it)
@@ -201,6 +213,11 @@ def _fused_edge_bwd_kernel(block_of, first_of, *refs, cs, bn, has_we,
 
   @pl.when(c == 0)
   def _init_weight_accums():
+    if embed:
+      dew0_ref[:] = jnp.zeros_like(dew0_ref)
+      deb0_ref[:] = jnp.zeros_like(deb0_ref)
+      dew1_ref[:] = jnp.zeros_like(dew1_ref)
+      deb1_ref[:] = jnp.zeros_like(deb1_ref)
     if has_we:
       dwe_ref[:] = jnp.zeros_like(dwe_ref)
       db0_ref[:] = jnp.zeros_like(db0_ref)
@@ -214,11 +231,29 @@ def _fused_edge_bwd_kernel(block_of, first_of, *refs, cs, bn, has_we,
     dgr_ref[:] = jnp.zeros_like(dgr_ref)
 
   dtype = gs_ref.dtype
-  e = e_ref[:]                                   # [cs, C]
-  onehot_t = _unpack_mask(maskt_ref[0], e.shape[0], bn)
+  one = jnp.asarray(1.0, dtype)
+  ef = e_ref[:]                                  # [cs, C] (or [cs, F] embed)
+  onehot_t = _unpack_mask(maskt_ref[0], ef.shape[0], bn)
   oh_d = onehot_t.astype(dtype)
 
   # --- forward recompute (mirrors _fused_edge_kernel) ---
+  if embed:
+    xe = jax.lax.dot_general(
+        ef, ew0_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    xe += eb0_ref[0][None].astype(jnp.float32)
+    xe_d = xe.astype(dtype)
+    sig_e = one / (one + jnp.exp(-xe_d))
+    hh = xe_d * sig_e
+    y0 = jax.lax.dot_general(
+        hh, ew1_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    y0 += eb1_ref[0][None].astype(jnp.float32)
+    eyc, erstd = _ln_moments(y0, ln_stats)
+    en_h = eyc * erstd                           # f32, parameter-free LN
+    e = en_h.astype(dtype)
+  else:
+    e = ef
   if has_we:
     x0 = jax.lax.dot_general(
         e, we_ref[:], (((1,), (0,)), ((), ())),
@@ -231,7 +266,6 @@ def _fused_edge_bwd_kernel(block_of, first_of, *refs, cs, bn, has_we,
       oh_d, gr_ref[:], (((1,), (0,)), ((), ())),
       preferred_element_type=jnp.float32)
   xd = x0.astype(dtype)
-  one = jnp.asarray(1.0, dtype)
   sig = one / (one + jnp.exp(-xd))
   h = xd * sig
   y = jax.lax.dot_general(
@@ -287,6 +321,33 @@ def _fused_edge_bwd_kernel(block_of, first_of, *refs, cs, bn, has_we,
     de = dx0
   if write_eout:
     de = de + deout_ref[:].astype(jnp.float32)
+  if embed:
+    # Backward through the in-kernel embed chain: de is the grad w.r.t. the
+    # embedded latent en = LN₀(hh @ Ew1 + eb1); LN₀ is parameter-free.
+    if ln_stats == "off":
+      dy0 = de
+    else:
+      em1 = _row_mean(de, ln_stats)
+      em2 = _row_mean(de * en_h, ln_stats)
+      dy0 = erstd * (de - em1 - en_h * em2)
+    deb1_ref[:] += jnp.sum(dy0, axis=0, keepdims=True)
+    dy0d = dy0.astype(dtype)
+    dew1_ref[:] += jax.lax.dot_general(
+        hh, dy0d, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dhh = jax.lax.dot_general(
+        dy0d, ew1_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    dse = sig_e + xe_d * sig_e * (one - sig_e)
+    dxe = dhh * dse.astype(jnp.float32)
+    dxed = dxe.astype(dtype)
+    dew0_ref[:] += jax.lax.dot_general(
+        ef, dxed, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    deb0_ref[:] += jnp.sum(dxe, axis=0, keepdims=True)
+    de = jax.lax.dot_general(
+        dxed, ew0_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
   de_ref[:] = de.astype(de_ref.dtype)
 
 
@@ -312,10 +373,11 @@ class FusedEdgeStep:
     Both default True = the mesh-processor step.
 
     fused_backward=True runs the custom VJP through the fused backward
-    kernel (_fused_edge_bwd_kernel) instead of an unfused XLA recompute;
-    embed mode always falls back to the recompute. bwd_split > 1 runs the
-    backward at chunk_edges/bwd_split rows per grid step (it carries ~2×
-    the forward's live VMEM; split if the 16 MB scoped limit trips).
+    kernel (_fused_edge_bwd_kernel) instead of an unfused XLA recompute
+    (embed mode included: the embed MLP + parameter-free LN chain is
+    differentiated in-kernel). bwd_split > 1 runs the backward at
+    chunk_edges/bwd_split rows per grid step (it carries ~2× the forward's
+    live VMEM; split if the 16 MB scoped limit trips).
 
     ln_stats selects how the LayerNorm row statistics are computed inside
     the kernels: "vpu" (jnp.mean lane reductions), "mxu" (ones-matmul on
@@ -515,17 +577,21 @@ class FusedEdgeStep:
     return agg[:s.num_nodes]
 
   def _backward(self, e_pad, gs, gr_pad, we, b0, w1, b1, scale, d_eout,
-                d_agg, masks, interpret):
+                d_agg, masks, embed_weights, interpret):
     """Fused backward pass (see _fused_edge_bwd_kernel). Returns
-    (de, dgs, dgr, dwe, db0, dw1, db1, dscale, doff) with dgr/weight grads
-    in f32; de/dgs in the activation dtype."""
+    (de, dgs, dgr, dwe, db0, dw1, db1, dscale, doff[, dembed]) with
+    dgr/weight grads in f32; de/dgs in the activation dtype. With
+    ``embed_weights`` the dembed tail is (dew0, deb0, dew1, deb1) and de
+    holds the (normally discarded) raw-feature grads."""
     s = self._summer
     cs, bn = s.chunk_edges, s.block_nodes
     tc, nb = s.total_chunks, s.num_node_blocks
-    L, C = e_pad.shape
+    L, F = e_pad.shape
+    C = gs.shape[-1]
     if interpret is None:
       interpret = jax.default_backend() != "tpu"
     dtype = gs.dtype
+    embed = embed_weights is not None
     split = self.bwd_split
     csb = cs // split
     tcb = tc * split
@@ -541,9 +607,9 @@ class FusedEdgeStep:
     kernel = functools.partial(
         _fused_edge_bwd_kernel, cs=csb, bn=bn,
         has_we=self.include_edge_matmul, write_eout=self.write_edges,
-        ln_stats=ln_stats)
+        embed=embed, ln_stats=ln_stats)
     in_specs = [
-        pl.BlockSpec((csb, C), lambda c, bo, fo: (c, 0)),      # e
+        pl.BlockSpec((csb, F), lambda c, bo, fo: (c, 0)),      # e / ef
         pl.BlockSpec((csb, C), lambda c, bo, fo: (c, 0)),      # gs
         pl.BlockSpec((1, csb, bn // 32),
                      lambda c, bo, fo: (c, 0, 0)),             # maskt
@@ -555,6 +621,15 @@ class FusedEdgeStep:
     def row(x):
       return x.reshape(1, C)
 
+    if embed:
+      ew0, eb0, ew1, eb1 = embed_weights
+      in_specs += [
+          pl.BlockSpec((F, C), lambda c, bo, fo: (0, 0)),      # ew0
+          pl.BlockSpec((1, C), lambda c, bo, fo: (0, 0)),      # eb0
+          pl.BlockSpec((C, C), lambda c, bo, fo: (0, 0)),      # ew1
+          pl.BlockSpec((1, C), lambda c, bo, fo: (0, 0)),      # eb1
+      ]
+      args += [ew0.astype(dtype), row(eb0), ew1.astype(dtype), row(eb1)]
     if self.include_edge_matmul:
       in_specs += [
           pl.BlockSpec((C, C), lambda c, bo, fo: (0, 0)),      # we
@@ -574,15 +649,26 @@ class FusedEdgeStep:
     args.append(d_agg_pad)
 
     out_specs = [
-        pl.BlockSpec((csb, C), lambda c, bo, fo: (c, 0)),      # de
+        pl.BlockSpec((csb, F), lambda c, bo, fo: (c, 0)),      # de
         pl.BlockSpec((csb, C), lambda c, bo, fo: (c, 0)),      # dgs
         pl.BlockSpec((bn, C), lambda c, bo, fo: (bo[c], 0)),   # dgr
     ]
     out_shape = [
-        jax.ShapeDtypeStruct((L, C), e_pad.dtype),
+        jax.ShapeDtypeStruct((L, F), e_pad.dtype),
         jax.ShapeDtypeStruct((L, C), gs.dtype),
         jax.ShapeDtypeStruct((nb * bn, C), jnp.float32),
     ]
+    if embed:
+      out_specs += [
+          pl.BlockSpec((F, C), lambda c, bo, fo: (0, 0)),      # dew0
+          pl.BlockSpec((1, C), lambda c, bo, fo: (0, 0)),      # deb0
+          pl.BlockSpec((C, C), lambda c, bo, fo: (0, 0)),      # dew1
+          pl.BlockSpec((1, C), lambda c, bo, fo: (0, 0)),      # deb1
+      ]
+      out_shape += [jax.ShapeDtypeStruct((F, C), jnp.float32),
+                    jax.ShapeDtypeStruct((1, C), jnp.float32),
+                    jax.ShapeDtypeStruct((C, C), jnp.float32),
+                    jax.ShapeDtypeStruct((1, C), jnp.float32)]
     if self.include_edge_matmul:
       out_specs += [
           pl.BlockSpec((C, C), lambda c, bo, fo: (0, 0)),      # dwe
@@ -612,10 +698,13 @@ class FusedEdgeStep:
     )(jnp.asarray(self.bwd_block_of), jnp.asarray(self.bwd_first_of), *args)
     it = iter(outs)
     de, dgs, dgr = next(it), next(it), next(it)
+    dembed = None
+    if embed:
+      dembed = (next(it), next(it), next(it), next(it))
     dwe = next(it) if self.include_edge_matmul else None
     db0 = next(it) if self.include_edge_matmul else None
     dw1, db1, dscale, doff = next(it), next(it), next(it), next(it)
-    return de, dgs, dgr, dwe, db0, dw1, db1, dscale, doff
+    return de, dgs, dgr, dwe, db0, dw1, db1, dscale, doff, dembed
 
   def _reference_math(self, e_pad, gs, gr_pad, we, b0, w1, b1, scale,
                       offset, embed_weights=None):
@@ -696,9 +785,9 @@ def _fes_bwd(holder, interpret, residuals, grads):
   step = holder.step
   (e_pad, gs, gr_pad, we, b0, w1, b1, scale, offset, masks,
    embed_weights) = residuals
-  if embed_weights is not None or not step.fused_backward:
+  if not step.fused_backward:
     # Exact backward via XLA autodiff of the reference math (recompute) —
-    # the embed mode's VJP and an opt-out fallback.
+    # the opt-out fallback.
     _, vjp = jax.vjp(
         lambda *args: step._reference_math(*args),
         e_pad, gs, gr_pad, we, b0, w1, b1, scale, offset, embed_weights)
@@ -711,17 +800,21 @@ def _fes_bwd(holder, interpret, residuals, grads):
     d_eout, d_agg = grads
   else:
     d_eout, d_agg = None, grads
-  de, dgs, dgr, dwe, db0, dw1, db1, dscale, doff = step._backward(
+  de, dgs, dgr, dwe, db0, dw1, db1, dscale, doff, dembed = step._backward(
       e_pad, gs, gr_pad, we, b0, w1, b1, scale, d_eout, d_agg, masks,
-      interpret)
+      embed_weights, interpret)
   has_we = step.include_edge_matmul
+  if dembed is not None:
+    ew0, eb0, ew1, eb1 = embed_weights
+    dembed = (dembed[0].astype(ew0.dtype), dembed[1][0].astype(eb0.dtype),
+              dembed[2].astype(ew1.dtype), dembed[3][0].astype(eb1.dtype))
   return (de.astype(e_pad.dtype), dgs.astype(gs.dtype),
           dgr.astype(gr_pad.dtype),
           dwe.astype(we.dtype) if has_we else jnp.zeros_like(we),
           db0[0].astype(b0.dtype) if has_we else jnp.zeros_like(b0),
           dw1.astype(w1.dtype), db1[0].astype(b1.dtype),
           dscale[0].astype(scale.dtype), doff[0].astype(offset.dtype),
-          None, None)
+          None, dembed)
 
 
 _fused_edge_step.defvjp(_fes_fwd, _fes_bwd)

@@ -288,6 +288,95 @@ def test_processor_fused_training_grads_match_plain():
         rtol=5e-4, atol=5e-4, err_msg=str(k))
 
 
+def _embed_setup(seed, f=32):
+  """make_setup plus raw [E, f] edge features and embed-MLP weights."""
+  summer, _, senders, receivers, e_pad, x, p = make_setup(seed=seed)
+  c = e_pad.shape[-1]
+  rng = np.random.RandomState(seed + 100)
+  raw = rng.randn(summer.num_edges, f).astype(np.float32)
+  raw_pad = jnp.asarray(summer.pad_edges(raw))
+  ew = (jnp.asarray(rng.randn(f, c).astype(np.float32) * 0.2),
+        jnp.asarray(rng.randn(c).astype(np.float32) * 0.1),
+        jnp.asarray(rng.randn(c, c).astype(np.float32) * 0.05),
+        jnp.asarray(rng.randn(c).astype(np.float32) * 0.1))
+  return summer, senders, receivers, raw, raw_pad, ew, x, p
+
+
+def _embed_reference_latents(raw, ew):
+  """The in-kernel embed chain in plain ops: MLP + parameter-free LN."""
+  ew0, eb0, ew1, eb1 = ew
+  x0 = raw @ ew0 + eb0[None]
+  hh = x0 * jax.nn.sigmoid(x0)
+  y0 = hh @ ew1 + eb1[None]
+  mean = jnp.mean(y0, axis=-1, keepdims=True)
+  var = jnp.mean(jnp.square(y0 - mean), axis=-1, keepdims=True)
+  return (y0 - mean) * jax.lax.rsqrt(var + pallas_edge.LN_EPS)
+
+
+@pytest.mark.parametrize("write_edges", [False, True])
+def test_fused_edge_step_embed_matches_unfused(write_edges):
+  """embed_weights mode (raw features in, embed MLP + parameter-free LN
+  in-kernel) must match embedding outside then running the plain step."""
+  summer, senders, receivers, raw, raw_pad, ew, x, p = _embed_setup(seed=6)
+  step = pallas_edge.FusedEdgeStep(summer, interpret=True,
+                                   write_edges=write_edges)
+  gs = (x @ p["ws"])[jnp.asarray(summer.pad_edges(senders))]
+  gr_pad = step.pad_nodes(x @ p["wr"])
+  out = step(raw_pad, gs, gr_pad, p["we"], p["b0"], p["w1"], p["b1"],
+             p["scale"], p["offset"], embed_weights=ew)
+
+  e_orig = _embed_reference_latents(jnp.asarray(raw), ew)
+  want_eout, want_agg = unfused_reference(
+      summer, senders, receivers, e_orig, x, p)
+  if write_edges:
+    eout_pad, agg = out
+    valid = summer.layout_index < summer.num_edges
+    idx = summer.layout_index[valid]
+    np.testing.assert_allclose(np.asarray(eout_pad)[valid],
+                               np.asarray(want_eout)[idx],
+                               rtol=2e-4, atol=2e-4)
+  else:
+    agg = out
+  np.testing.assert_allclose(np.asarray(agg), np.asarray(want_agg),
+                             rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize("write_edges", [False, True])
+def test_fused_backward_kernel_embed(write_edges):
+  """embed_weights mode through the fused backward kernel: every cotangent
+  (raw features, senders, receiver blocks, step params AND the embed MLP's
+  dew0/deb0/dew1/deb1) must match the unfused XLA recompute."""
+  summer, senders, receivers, raw, raw_pad, ew, x, p = _embed_setup(seed=8)
+
+  def cots(step):
+    gs = (x @ p["ws"])[jnp.asarray(summer.pad_edges(senders))]
+    gr_pad = step.pad_nodes(x @ p["wr"])
+    fn = lambda e, g, gr, we, b0, w1, b1, sc, off, emb: step(
+        e, g, gr, we, b0, w1, b1, sc, off, embed_weights=emb)
+    out, vjp = jax.vjp(fn, raw_pad, gs, gr_pad, p["we"], p["b0"], p["w1"],
+                       p["b1"], p["scale"], p["offset"], ew)
+    rng = np.random.RandomState(9)
+    if write_edges:
+      eout, agg = out
+      d = (jnp.asarray(rng.randn(*eout.shape).astype(np.float32)),
+           jnp.asarray(rng.randn(*agg.shape).astype(np.float32)))
+    else:
+      d = jnp.asarray(rng.randn(*out.shape).astype(np.float32))
+    return vjp(d)
+
+  kw = dict(interpret=True, write_edges=write_edges)
+  gk = cots(pallas_edge.FusedEdgeStep(summer, fused_backward=True, **kw))
+  gr = cots(pallas_edge.FusedEdgeStep(summer, fused_backward=False, **kw))
+  names = ["draw", "dgs", "dgr", "dwe", "db0", "dw1", "db1", "dscale",
+           "doff", "dembed"]
+  for n, a, b in zip(names, gk, gr):
+    for i, (ai, bi) in enumerate(zip(jax.tree_util.tree_leaves(a),
+                                     jax.tree_util.tree_leaves(b))):
+      np.testing.assert_allclose(np.asarray(ai), np.asarray(bi),
+                                 rtol=3e-4, atol=3e-4,
+                                 err_msg=f"{n}[{i}]")
+
+
 def test_mxu_ln_stats_matches_vpu():
   """ln_stats="mxu" (ones-matmul LayerNorm statistics) must match the
   default VPU-reduction statistics in forward AND through the fused
