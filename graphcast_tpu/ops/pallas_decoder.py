@@ -29,8 +29,14 @@ Pipeline per grid-node block i (C = latent, Co = padded output channels):
     res  = grid_i + nupd                                   # node residual
     out  = swish(res @ Wd0 + b_d0) @ Wd1 + b_d1            # output MLP
 
-The custom VJP recomputes the same math in plain XLA (exact, unfused), so
-the kernel is safe under grad; inference is the fast path.
+The custom VJP runs a fused backward kernel by default
+(_decoder_bwd_kernel): each grid sub-block recomputes its forward pipeline
+in VMEM and emits input grads (grid latents, sender rows, const/raw-edge
+features) plus all weight grads in one HBM pass — the same design as
+ops/pallas_edge._fused_edge_bwd_kernel. ``fused_backward=False`` falls back
+to XLA autodiff of the plain-ops recompute (exact, unfused — it
+re-materializes the [3E, C] gathered senders in HBM, which is what OOMed
+fully-fused training at 0.25°).
 """
 
 from __future__ import annotations
@@ -147,6 +153,266 @@ def _decoder_kernel(*refs, compact, bn, edge_matmul, embed, ln_stats="vpu"):
   out_ref[:] = out.astype(out_ref.dtype)
 
 
+def _ln_bwd(dyh, yh, rstd, mode):
+  """VJP of yh = (y - mean) * rstd given dyh (grad w.r.t. yh)."""
+  from graphcast_tpu.ops.pallas_edge import _row_mean
+  if mode == "off":
+    return dyh
+  m1 = _row_mean(dyh, mode)
+  m2 = _row_mean(dyh * yh, mode)
+  return rstd * (dyh - m1 - yh * m2)
+
+
+def _decoder_bwd_kernel(*refs, compact, split, edge_matmul, embed, ln_stats):
+  """Backward of _decoder_kernel: recompute the sub-block's forward pipeline
+  from its inputs (two j-passes so at most one edge slot's intermediates are
+  live), then emit every input/param grad in the same HBM pass. Weight grads
+  accumulate in constant-index f32 output blocks (the TPU grid is
+  sequential); the compact sender-table grad (dcomp) flushes per FORWARD
+  block — its ``split`` sub-blocks accumulate into the same [u, C] window.
+  LayerNorm scale/offset (es/eo, ns/no) ARE inputs of downstream compute
+  (eo/no feed the recomputed agg/res), and the biases b1/bn1 do not cancel
+  out of the normalized outputs (LN is over channels), so all of b1, bn1,
+  eo, no stay kernel inputs; bd1 only shifts the final output and is
+  dropped (dbd1 = Σ dout)."""
+  i = pl.program_id(0)
+  it = iter(refs)
+  const_ref = next(it)
+  if embed:
+    ew0_ref = next(it)
+    eb0_ref = next(it)
+    ew1_ref = next(it)
+    eb1_ref = next(it)
+  if edge_matmul:
+    we_ref = next(it)
+    b0_ref = next(it)
+  if compact:
+    maskb_ref = next(it)
+    comp_ref = next(it)
+  else:
+    gs_ref = next(it)
+  grid_ref = next(it)
+  wr_ref = next(it)
+  w1_ref = next(it)
+  b1_ref = next(it)
+  es_ref = next(it)
+  eo_ref = next(it)
+  wng_ref = next(it)
+  wna_ref = next(it)
+  bn0_ref = next(it)
+  wn1_ref = next(it)
+  bn1_ref = next(it)
+  ns_ref = next(it)
+  no_ref = next(it)
+  wd0_ref = next(it)
+  bd0_ref = next(it)
+  wd1_ref = next(it)
+  dout_ref = next(it)
+  # Outputs.
+  dgrid_ref = next(it)
+  if compact:
+    dcomp_ref = next(it)
+  else:
+    dgs_ref = next(it)
+  dconst_ref = next(it)
+  if embed:
+    dew0_ref = next(it)
+    deb0_ref = next(it)
+    dew1_ref = next(it)
+    deb1_ref = next(it)
+  if edge_matmul:
+    dwe_ref = next(it)
+    db0_ref = next(it)
+  dwr_ref = next(it)
+  dw1_ref = next(it)
+  db1_ref = next(it)
+  des_ref = next(it)
+  deo_ref = next(it)
+  dwng_ref = next(it)
+  dwna_ref = next(it)
+  dbn0_ref = next(it)
+  dwn1_ref = next(it)
+  dbn1_ref = next(it)
+  dns_ref = next(it)
+  dno_ref = next(it)
+  dwd0_ref = next(it)
+  dbd0_ref = next(it)
+  dwd1_ref = next(it)
+  dbd1_ref = next(it)
+
+  waccums = [dwr_ref, dw1_ref, db1_ref, des_ref, deo_ref, dwng_ref,
+             dwna_ref, dbn0_ref, dwn1_ref, dbn1_ref, dns_ref, dno_ref,
+             dwd0_ref, dbd0_ref, dwd1_ref, dbd1_ref]
+  if embed:
+    waccums += [dew0_ref, deb0_ref, dew1_ref, deb1_ref]
+  if edge_matmul:
+    waccums += [dwe_ref, db0_ref]
+
+  @pl.when(i == 0)
+  def _init_weight_accums():
+    for r in waccums:
+      r[:] = jnp.zeros_like(r)
+
+  if compact:
+    @pl.when(jax.lax.rem(i, split) == 0)
+    def _init_dcomp():
+      dcomp_ref[:] = jnp.zeros_like(dcomp_ref)
+
+  from graphcast_tpu.ops.pallas_edge import _ln_moments
+
+  g = grid_ref[:]                                  # [bs, C] act dtype
+  dtype = g.dtype
+  one = jnp.asarray(1.0, dtype)
+  gproj = _mm(g, wr_ref[:])                        # f32
+  if compact:
+    from graphcast_tpu.ops.splash import _unpack_mask
+    comp = comp_ref[0]
+    u = comp.shape[0]
+
+  def _cmm(a, b, dims):
+    return jax.lax.dot_general(a, b, (dims, ((), ())),
+                               preferred_element_type=jnp.float32)
+
+  def slot_fwd(j):
+    """Recompute slot j's forward pipeline; returns its intermediates."""
+    if embed:
+      xe = _mm(const_ref[j], ew0_ref[:]) + eb0_ref[0][None].astype(
+          jnp.float32)
+      xe_d = xe.astype(dtype)
+      sig_e = one / (one + jnp.exp(-xe_d))
+      hh = xe_d * sig_e
+      y0 = _mm(hh, ew1_ref[:]) + eb1_ref[0][None].astype(jnp.float32)
+      eyc, erstd = _ln_moments(y0, ln_stats)
+      en_h = eyc * erstd                           # f32, parameter-free LN
+      en = en_h.astype(dtype)
+      emb = (xe_d, sig_e, hh, en_h, erstd)
+      x0 = _mm(en, we_ref[:]) + b0_ref[0][None].astype(jnp.float32)
+    elif edge_matmul:
+      en = const_ref[j]
+      emb = None
+      x0 = _mm(en, we_ref[:]) + b0_ref[0][None].astype(jnp.float32)
+    else:
+      en = None
+      emb = None
+      x0 = const_ref[j].astype(jnp.float32)
+    if compact:
+      oh = _unpack_mask(maskb_ref[0, j, 0], g.shape[0], u).astype(dtype)
+      x0 = x0 + _mm(oh, comp)
+    else:
+      oh = None
+      x0 = x0 + gs_ref[j].astype(jnp.float32)
+    x0 = x0 + gproj
+    xd = x0.astype(dtype)
+    sig = one / (one + jnp.exp(-xd))
+    h = xd * sig
+    y = _mm(h, w1_ref[:]) + b1_ref[0][None].astype(jnp.float32)
+    yc, rstd = _ln_moments(y, ln_stats)
+    return oh, en, emb, xd, sig, h, yc * rstd, rstd
+
+  es_row = es_ref[0][None].astype(jnp.float32)
+  eo_row = eo_ref[0][None].astype(jnp.float32)
+
+  # --- forward pass 1: the slot aggregation, then the node/output MLPs ---
+  agg = jnp.zeros_like(gproj)
+  for j in range(3):
+    agg += slot_fwd(j)[6] * es_row + eo_row
+  agg_d = agg.astype(dtype)
+  xn = _mm(g, wng_ref[:]) + _mm(agg_d, wna_ref[:])
+  xn += bn0_ref[0][None].astype(jnp.float32)
+  xn_d = xn.astype(dtype)
+  sig_n = one / (one + jnp.exp(-xn_d))
+  hn = xn_d * sig_n
+  yn = _mm(hn, wn1_ref[:]) + bn1_ref[0][None].astype(jnp.float32)
+  ync, nrstd = _ln_moments(yn, ln_stats)
+  ynh = ync * nrstd
+  upd = ynh * ns_ref[0][None].astype(jnp.float32)
+  upd += no_ref[0][None].astype(jnp.float32)
+  res = (g.astype(jnp.float32) + upd).astype(dtype)
+  xo = _mm(res, wd0_ref[:]) + bd0_ref[0][None].astype(jnp.float32)
+  xo_d = xo.astype(dtype)
+  sig_o = one / (one + jnp.exp(-xo_d))
+  ho = xo_d * sig_o
+
+  # --- backward through output + node MLPs ---
+  dout = dout_ref[:].astype(jnp.float32)
+  dbd1_ref[:] += jnp.sum(dout, axis=0, keepdims=True)
+  dout_d = dout.astype(dtype)
+  dwd1_ref[:] += _cmm(ho, dout_d, ((0,), (0,)))
+  dho = _cmm(dout_d, wd1_ref[:], ((1,), (1,)))
+  dso = sig_o + xo_d * sig_o * (one - sig_o)
+  dxo = dho * dso.astype(jnp.float32)
+  dbd0_ref[:] += jnp.sum(dxo, axis=0, keepdims=True)
+  dxo_d = dxo.astype(dtype)
+  dwd0_ref[:] += _cmm(res, dxo_d, ((0,), (0,)))
+  dres = _cmm(dxo_d, wd0_ref[:], ((1,), (1,)))
+  dg = dres                                        # residual branch
+  dno_ref[:] += jnp.sum(dres, axis=0, keepdims=True)
+  dns_ref[:] += jnp.sum(dres * ynh, axis=0, keepdims=True)
+  dyhn = dres * ns_ref[0][None].astype(jnp.float32)
+  dyn = _ln_bwd(dyhn, ynh, nrstd, ln_stats)
+  dbn1_ref[:] += jnp.sum(dyn, axis=0, keepdims=True)
+  dyn_d = dyn.astype(dtype)
+  dwn1_ref[:] += _cmm(hn, dyn_d, ((0,), (0,)))
+  dhn = _cmm(dyn_d, wn1_ref[:], ((1,), (1,)))
+  dsn = sig_n + xn_d * sig_n * (one - sig_n)
+  dxn = dhn * dsn.astype(jnp.float32)
+  dbn0_ref[:] += jnp.sum(dxn, axis=0, keepdims=True)
+  dxn_d = dxn.astype(dtype)
+  dwng_ref[:] += _cmm(g, dxn_d, ((0,), (0,)))
+  dg = dg + _cmm(dxn_d, wng_ref[:], ((1,), (1,)))
+  dwna_ref[:] += _cmm(agg_d, dxn_d, ((0,), (0,)))
+  dagg = _cmm(dxn_d, wna_ref[:], ((1,), (1,)))
+  # Each slot's z_j = yh_j * es + eo receives the same cotangent dagg.
+  deo_ref[:] += 3.0 * jnp.sum(dagg, axis=0, keepdims=True)
+
+  # --- forward pass 2 + backward, one edge slot at a time ---
+  dgproj = jnp.zeros_like(gproj)
+  for j in range(3):
+    oh, en, emb, xd, sig, h, yh, rstd = slot_fwd(j)
+    des_ref[:] += jnp.sum(dagg * yh, axis=0, keepdims=True)
+    dyh = dagg * es_row
+    dy = _ln_bwd(dyh, yh, rstd, ln_stats)
+    db1_ref[:] += jnp.sum(dy, axis=0, keepdims=True)
+    dy_d = dy.astype(dtype)
+    dw1_ref[:] += _cmm(h, dy_d, ((0,), (0,)))
+    dh = _cmm(dy_d, w1_ref[:], ((1,), (1,)))
+    ds = sig + xd * sig * (one - sig)
+    dx0 = dh * ds.astype(jnp.float32)
+    dgproj += dx0
+    dx0_d = dx0.astype(dtype)
+    if compact:
+      dcomp_ref[:] += _cmm(oh, dx0_d, ((0,), (0,)))[None]
+    else:
+      dgs_ref[j] = dx0.astype(dgs_ref.dtype)
+    if edge_matmul:
+      db0_ref[:] += jnp.sum(dx0, axis=0, keepdims=True)
+      dwe_ref[:] += _cmm(en, dx0_d, ((0,), (0,)))
+      den = _cmm(dx0_d, we_ref[:], ((1,), (1,)))
+      if embed:
+        xe_d, sig_e, hh, en_h, erstd = emb
+        dy0 = _ln_bwd(den, en_h, erstd, ln_stats)
+        deb1_ref[:] += jnp.sum(dy0, axis=0, keepdims=True)
+        dy0_d = dy0.astype(dtype)
+        dew1_ref[:] += _cmm(hh, dy0_d, ((0,), (0,)))
+        dhh = _cmm(dy0_d, ew1_ref[:], ((1,), (1,)))
+        dse = sig_e + xe_d * sig_e * (one - sig_e)
+        dxe = dhh * dse.astype(jnp.float32)
+        deb0_ref[:] += jnp.sum(dxe, axis=0, keepdims=True)
+        dxe_d = dxe.astype(dtype)
+        dew0_ref[:] += _cmm(const_ref[j], dxe_d, ((0,), (0,)))
+        dconst_ref[j] = _cmm(dxe_d, ew0_ref[:], ((1,), (1,))).astype(
+            dconst_ref.dtype)
+      else:
+        dconst_ref[j] = den.astype(dconst_ref.dtype)
+    else:
+      dconst_ref[j] = dx0.astype(dconst_ref.dtype)
+
+  dgproj_d = dgproj.astype(dtype)
+  dwr_ref[:] += _cmm(g, dgproj_d, ((0,), (0,)))
+  dg = dg + _cmm(dgproj_d, wr_ref[:], ((1,), (1,)))
+  dgrid_ref[:] = dg.astype(dgrid_ref.dtype)
+
+
 class FusedMesh2GridDecoder:
   """Callable fused decoder for a fixed mesh2grid edge list.
 
@@ -162,13 +428,24 @@ class FusedMesh2GridDecoder:
                num_outputs: int, block_nodes: int = 256,
                interpret: Optional[bool] = None,
                compact_gather: Optional[bool] = None,
-               ln_stats: Optional[str] = None):
+               ln_stats: Optional[str] = None,
+               fused_backward: bool = True,
+               bwd_split: int = 2):
+    """fused_backward=True routes the custom VJP through the fused backward
+    kernel (_decoder_bwd_kernel); False falls back to XLA autodiff of the
+    plain-ops recompute. bwd_split > 1 runs the backward at
+    block_nodes/bwd_split grid rows per step (the backward carries ~2× the
+    forward's live VMEM plus the f32 weight-grad accumulators)."""
     if ln_stats is None:
       import os
       ln_stats = os.environ.get("GC_LN_STATS", "vpu")
     if ln_stats not in ("vpu", "mxu", "off"):
       raise ValueError(f"unknown ln_stats {ln_stats!r}")
     self.ln_stats = ln_stats
+    if block_nodes % bwd_split:
+      raise ValueError("bwd_split must divide block_nodes")
+    self.fused_backward = fused_backward
+    self.bwd_split = bwd_split
     senders = np.asarray(senders, np.int32)
     if senders.shape[0] != 3 * num_grid_nodes:
       raise ValueError("mesh2grid must have exactly 3 edges per grid node")
@@ -380,6 +657,178 @@ class FusedMesh2GridDecoder:
       w["wd1"].astype(dtype), row(w["bd1"]))
     return out[:G, :self.num_outputs]
 
+  def _backward(self, grid_lat, mesh_proj, const_slot, weights, layout,
+                dout, interpret):
+    """Fused backward pass (see _decoder_bwd_kernel). Returns
+    (dgrid [G, C], dmesh [M, C], dconst [3, padded_grid, F], dweights) with
+    weight grads accumulated in f32 and cast back to each weight's dtype.
+    The per-block compact sender-table grad (or slot-major dgs) is
+    scatter-added into mesh_proj's rows outside the kernel — [nb, u, C]
+    rows for the compact path instead of the [3E, C] gather the unfused
+    VJP re-materializes."""
+    if interpret is None:
+      interpret = jax.default_backend() != "tpu"
+    bn = self.block_nodes
+    nb = self.num_blocks
+    split = self.bwd_split
+    bs = bn // split
+    G, C = grid_lat.shape
+    M = mesh_proj.shape[0]
+    dtype = grid_lat.dtype
+    co = self.out_pad
+    lay = layout or {}
+    w = dict(weights)
+    edge_matmul = "we" in w
+    embed = "ew0" in w
+    F = const_slot.shape[-1]
+
+    def row(x):
+      return x.reshape(1, -1).astype(dtype)
+
+    in_specs = [pl.BlockSpec((3, bs, F), lambda i: (0, i, 0))]   # const
+    args = [const_slot.astype(dtype)]
+    if embed:
+      in_specs += [
+          pl.BlockSpec((F, C), lambda i: (0, 0)),                # ew0
+          pl.BlockSpec((1, C), lambda i: (0, 0)),                # eb0
+          pl.BlockSpec((C, C), lambda i: (0, 0)),                # ew1
+          pl.BlockSpec((1, C), lambda i: (0, 0)),                # eb1
+      ]
+      args += [w["ew0"].astype(dtype), row(w["eb0"]),
+               w["ew1"].astype(dtype), row(w["eb1"])]
+    if edge_matmul:
+      in_specs += [
+          pl.BlockSpec((C, C), lambda i: (0, 0)),                # we
+          pl.BlockSpec((1, C), lambda i: (0, 0)),                # b0
+      ]
+      args += [w["we"].astype(dtype), row(w["b0"])]
+    ids = senders = None
+    if self.compact:
+      u = self.u_pad
+      ids = lay.get("ids")
+      if ids is None:
+        ids = jnp.asarray(self.compact_ids.reshape(-1))
+      maskc = lay.get("masks")
+      if maskc is None:
+        maskc = jnp.asarray(self.compact_masks)
+      # Rows of a forward block are slot-major (j*bn + v): reshaping to
+      # [nb, 3, split, bs, u//32] makes sub-block s of slot j a contiguous
+      # block for the split backward grid.
+      maskb = maskc.reshape(nb, 3, split, bs, u // 32)
+      comp = mesh_proj[ids].reshape(nb, u, C).astype(dtype)
+      in_specs += [
+          pl.BlockSpec((1, 3, 1, bs, u // 32),
+                       lambda i: (i // split, 0, i % split, 0, 0)),
+          pl.BlockSpec((1, u, C), lambda i: (i // split, 0, 0)),
+      ]
+      args += [maskb, comp]
+    else:
+      senders = lay.get("senders")
+      if senders is None:
+        senders = jnp.asarray(self.senders_slot.reshape(-1))
+      gs = mesh_proj[senders].reshape(3, self.padded_grid, C).astype(dtype)
+      in_specs += [pl.BlockSpec((3, bs, C), lambda i: (0, i, 0))]
+      args += [gs]
+
+    grid_pad = jnp.pad(grid_lat, ((0, self.padded_grid - G), (0, 0)))
+    dout_pad = jnp.pad(dout.astype(dtype),
+                       ((0, self.padded_grid - G), (0, co - dout.shape[1])))
+    in_specs += [
+        pl.BlockSpec((bs, C), lambda i: (i, 0)),                 # grid
+        pl.BlockSpec((C, C), lambda i: (0, 0)),                  # wr
+        pl.BlockSpec((C, C), lambda i: (0, 0)),                  # w1
+        pl.BlockSpec((1, C), lambda i: (0, 0)),                  # b1
+        pl.BlockSpec((1, C), lambda i: (0, 0)),                  # escale
+        pl.BlockSpec((1, C), lambda i: (0, 0)),                  # eoffset
+        pl.BlockSpec((C, C), lambda i: (0, 0)),                  # wng
+        pl.BlockSpec((C, C), lambda i: (0, 0)),                  # wna
+        pl.BlockSpec((1, C), lambda i: (0, 0)),                  # bn0
+        pl.BlockSpec((C, C), lambda i: (0, 0)),                  # wn1
+        pl.BlockSpec((1, C), lambda i: (0, 0)),                  # bn1
+        pl.BlockSpec((1, C), lambda i: (0, 0)),                  # nscale
+        pl.BlockSpec((1, C), lambda i: (0, 0)),                  # noffset
+        pl.BlockSpec((C, C), lambda i: (0, 0)),                  # wd0
+        pl.BlockSpec((1, C), lambda i: (0, 0)),                  # bd0
+        pl.BlockSpec((C, co), lambda i: (0, 0)),                 # wd1
+        pl.BlockSpec((bs, co), lambda i: (i, 0)),                # dout
+    ]
+    args += [grid_pad.astype(dtype),
+             w["wr"].astype(dtype), w["w1"].astype(dtype), row(w["b1"]),
+             row(w["escale"]), row(w["eoffset"]),
+             w["wng"].astype(dtype), w["wna"].astype(dtype), row(w["bn0"]),
+             w["wn1"].astype(dtype), row(w["bn1"]),
+             row(w["nscale"]), row(w["noffset"]),
+             w["wd0"].astype(dtype), row(w["bd0"]),
+             w["wd1"].astype(dtype), dout_pad]
+
+    out_specs = [pl.BlockSpec((bs, C), lambda i: (i, 0))]        # dgrid
+    out_shape = [jax.ShapeDtypeStruct((self.padded_grid, C), dtype)]
+    if self.compact:
+      out_specs.append(pl.BlockSpec((1, self.u_pad, C),
+                                    lambda i: (i // split, 0, 0)))
+      out_shape.append(
+          jax.ShapeDtypeStruct((nb, self.u_pad, C), jnp.float32))
+    else:
+      out_specs.append(pl.BlockSpec((3, bs, C), lambda i: (0, i, 0)))
+      out_shape.append(
+          jax.ShapeDtypeStruct((3, self.padded_grid, C), dtype))
+    out_specs.append(pl.BlockSpec((3, bs, F), lambda i: (0, i, 0)))
+    out_shape.append(
+        jax.ShapeDtypeStruct((3, self.padded_grid, F), const_slot.dtype))
+    wgrads = []          # (weights key, kernel out shape, row?)
+    if embed:
+      wgrads += [("ew0", (F, C), False), ("eb0", (1, C), True),
+                 ("ew1", (C, C), False), ("eb1", (1, C), True)]
+    if edge_matmul:
+      wgrads += [("we", (C, C), False), ("b0", (1, C), True)]
+    wgrads += [
+        ("wr", (C, C), False), ("w1", (C, C), False), ("b1", (1, C), True),
+        ("escale", (1, C), True), ("eoffset", (1, C), True),
+        ("wng", (C, C), False), ("wna", (C, C), False),
+        ("bn0", (1, C), True), ("wn1", (C, C), False),
+        ("bn1", (1, C), True), ("nscale", (1, C), True),
+        ("noffset", (1, C), True), ("wd0", (C, C), False),
+        ("bd0", (1, C), True), ("wd1", (C, co), False),
+        ("bd1", (1, co), True),
+    ]
+    for _, shp, _ in wgrads:
+      out_specs.append(pl.BlockSpec(shp, lambda i: (0, 0)))
+      out_shape.append(jax.ShapeDtypeStruct(shp, jnp.float32))
+
+    ln_stats = self.ln_stats
+    if ln_stats == "mxu" and C % 128:
+      ln_stats = "vpu"
+    kernel = functools.partial(_decoder_bwd_kernel, compact=self.compact,
+                               split=split, edge_matmul=edge_matmul,
+                               embed=embed, ln_stats=ln_stats)
+    outs = pl.pallas_call(
+        kernel,
+        grid=(nb * split,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=tuple(out_shape),
+        interpret=interpret,
+    )(*args)
+
+    it = iter(outs)
+    dgrid = next(it)[:G]
+    if self.compact:
+      dcomp = next(it)
+      dmesh = jnp.zeros((M, C), jnp.float32).at[ids].add(
+          dcomp.reshape(nb * self.u_pad, C)).astype(mesh_proj.dtype)
+    else:
+      dgs = next(it)
+      dmesh = jnp.zeros((M, C), jnp.float32).at[senders].add(
+          dgs.reshape(-1, C).astype(jnp.float32)).astype(mesh_proj.dtype)
+    dconst = next(it)
+    dweights = {}
+    for key, _, is_row in wgrads:
+      val = next(it)
+      if is_row:
+        val = val[0]
+      dweights[key] = val.astype(jnp.asarray(weights[key]).dtype)
+    return dgrid, dmesh, dconst, dweights
+
   def _reference_math(self, grid_lat, mesh_proj, const_slot, weights,
                       layout=None):
     """Same pipeline in plain XLA (VJP recompute + test ground truth)."""
@@ -462,12 +911,16 @@ def _fd_fwd(grid_lat, mesh_proj, const_slot, weights, layout, holder,
 
 
 def _fd_bwd(holder, interpret, residuals, g):
-  del interpret
+  dec = holder.dec
   grid_lat, mesh_proj, const_slot, weights, layout = residuals
-  _, vjp = jax.vjp(
-      lambda a, b, c, d: holder.dec._reference_math(a, b, c, d, layout),
-      grid_lat, mesh_proj, const_slot, weights)
-  return vjp(g) + (None,)
+  if not dec.fused_backward:
+    _, vjp = jax.vjp(
+        lambda a, b, c, d: dec._reference_math(a, b, c, d, layout),
+        grid_lat, mesh_proj, const_slot, weights)
+    return vjp(g) + (None,)
+  dgrid, dmesh, dconst, dweights = dec._backward(
+      grid_lat, mesh_proj, const_slot, weights, layout, g, interpret)
+  return dgrid, dmesh, dconst, dweights, None
 
 
 _fused_decode.defvjp(_fd_fwd, _fd_bwd)

@@ -218,12 +218,24 @@ def test_denoiser_fused_kernels_match_full():
         np.asarray(s_fused.data(n)), np.asarray(s_full.data(n)),
         rtol=1e-3, atol=1e-3)
 
-  # Training: loss + grads flow through the fused paths (custom VJPs).
-  (loss, _), = [fused.loss(params_fused, rng, inputs, targets, forcings)]
-  g = jax.grad(lambda p: jnp.mean(
+  # Training: loss + grads through the fused paths (fused-backward custom
+  # VJPs, incl. the embed-mode decoder backward) must match the plain path.
+  g_fused = jax.grad(lambda p: jnp.mean(
       fused.loss(p, rng, inputs, targets, forcings)[0]))(params_fused)
-  leaves = jax.tree_util.tree_leaves(g)
-  assert all(np.isfinite(np.asarray(x)).all() for x in leaves)
+  g_full = jax.grad(lambda p: jnp.mean(
+      full.loss({**p,
+                 "architecture": {**p["architecture"],
+                                  "graph_statics":
+                                      params["architecture"][
+                                          "graph_statics"]}},
+                rng, inputs, targets, forcings)[0]))(params_fused)
+  flat_f = dict(jax.tree_util.tree_flatten_with_path(g_fused)[0])
+  flat_p = dict(jax.tree_util.tree_flatten_with_path(g_full)[0])
+  assert flat_f.keys() == flat_p.keys()
+  for k in flat_f:
+    np.testing.assert_allclose(
+        np.asarray(flat_f[k]), np.asarray(flat_p[k]),
+        rtol=2e-3, atol=2e-3, err_msg=str(k))
 
 
 def test_denoiser_chunked_with_splash_matches_full():

@@ -89,6 +89,39 @@ def test_graphcast_processor_grad_consts_small():
   assert not big, f"large inline constants leaked into the grad HLO: {big}"
 
 
+def test_graphcast_full_fused_grad_consts_small():
+  """jax.grad through the FULLY-fused model (fused encoder + processor +
+  decoder kernels, fused backwards) must not inline kernel masks or sender
+  tables — the decoder backward reads its bitpacked one-hot / compact ids
+  from the layout threaded through the custom-VJP residuals."""
+  task = configs.TaskConfig(
+      input_variables=(
+          "2m_temperature", "temperature", "toa_incident_solar_radiation",
+          "land_sea_mask"),
+      target_variables=("2m_temperature", "temperature"),
+      forcing_variables=("toa_incident_solar_radiation",),
+      pressure_levels=(500, 850),
+      input_duration="12h")
+  model = configs.ModelConfig(
+      resolution=20.0, mesh_size=2, latent_size=32, gnn_msg_steps=2,
+      hidden_layers=1, radius_query_fraction_edge_length=0.6)
+  gc = GraphCast(model, task, cache_dir="", fused_aggregation=True)
+  inputs, targets, forcings = synthetic.make_example_batch(
+      task, resolution=20.0, batch=1)
+  rng = jax.random.PRNGKey(0)
+  params = gc.init(rng, inputs, targets, forcings)
+  assert gc._m2g_decoder is not None and gc._m2g_decoder.fused_backward
+  learned, statics = train.partition_params(params)
+
+  def loss(lp, statics):
+    l, _ = gc.loss({**lp, **statics}, rng, inputs, targets, forcings)
+    return jnp.mean(l)
+
+  jaxpr = jax.make_jaxpr(jax.grad(loss))(learned, statics)
+  big = [s for s in _largest_consts(jaxpr) if s[0] > MAX_CONST_BYTES]
+  assert not big, f"large inline constants leaked into the grad HLO: {big}"
+
+
 def test_splash_grad_consts_small():
   """jax.grad through splash must not inline the backward block maps.
 

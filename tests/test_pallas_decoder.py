@@ -118,7 +118,30 @@ def test_rearrange_edge_array_slot_major():
 
 
 def test_gradients_flow_and_match_reference():
+  """Default (fused) backward kernel vs XLA autodiff of the reference math,
+  including the const_slot cotangent (param-derived for GraphCast)."""
   dec, grid, mesh_proj, const_slot, weights = _random_setup(seed=2)
+  assert dec.fused_backward
+
+  def loss_kernel(g, mp, cs, w):
+    return jnp.sum(dec(g, mp, cs, w) ** 2)
+
+  def loss_ref(g, mp, cs, w):
+    return jnp.sum(dec._reference_math(g, mp, cs, w) ** 2)
+
+  gk = jax.grad(loss_kernel, argnums=(0, 1, 2, 3))(
+      grid, mesh_proj, const_slot, weights)
+  gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(
+      grid, mesh_proj, const_slot, weights)
+  for a, b in zip(jax.tree_util.tree_leaves(gk),
+                  jax.tree_util.tree_leaves(gr)):
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_unfused_backward_fallback_matches_reference():
+  dec, grid, mesh_proj, const_slot, weights = _random_setup(
+      seed=2, fused_backward=False)
 
   def loss_kernel(g, mp, w):
     return jnp.sum(dec(g, mp, const_slot, w) ** 2)
@@ -128,6 +151,153 @@ def test_gradients_flow_and_match_reference():
 
   gk = jax.grad(loss_kernel, argnums=(0, 1, 2))(grid, mesh_proj, weights)
   gr = jax.grad(loss_ref, argnums=(0, 1, 2))(grid, mesh_proj, weights)
+  for a, b in zip(jax.tree_util.tree_leaves(gk),
+                  jax.tree_util.tree_leaves(gr)):
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.parametrize("split", [1, 2, 4])
+def test_fused_backward_split_grid(split):
+  """bwd_split sub-blocks accumulate the same grads as split=1."""
+  dec, grid, mesh_proj, const_slot, weights = _random_setup(
+      seed=4, bwd_split=split)
+
+  def loss_kernel(g, mp, cs, w):
+    return jnp.sum(dec(g, mp, cs, w) ** 2)
+
+  def loss_ref(g, mp, cs, w):
+    return jnp.sum(dec._reference_math(g, mp, cs, w) ** 2)
+
+  gk = jax.grad(loss_kernel, argnums=(0, 1, 2, 3))(
+      grid, mesh_proj, const_slot, weights)
+  gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(
+      grid, mesh_proj, const_slot, weights)
+  for a, b in zip(jax.tree_util.tree_leaves(gk),
+                  jax.tree_util.tree_leaves(gr)):
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_fused_backward_mxu_ln_stats():
+  """ln_stats="mxu" (ones-matmul LayerNorm statistics) through the fused
+  backward matches the reference grads."""
+  dec, grid, mesh_proj, const_slot, weights = _random_setup(
+      seed=5, ln_stats="mxu")
+  assert dec.ln_stats == "mxu"
+
+  def loss_kernel(g, mp, cs, w):
+    return jnp.sum(dec(g, mp, cs, w) ** 2)
+
+  def loss_ref(g, mp, cs, w):
+    return jnp.sum(dec._reference_math(g, mp, cs, w) ** 2)
+
+  gk = jax.grad(loss_kernel, argnums=(0, 1, 2, 3))(
+      grid, mesh_proj, const_slot, weights)
+  gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(
+      grid, mesh_proj, const_slot, weights)
+  for a, b in zip(jax.tree_util.tree_leaves(gk),
+                  jax.tree_util.tree_leaves(gr)):
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=2e-3, atol=2e-3)
+
+
+@pytest.mark.parametrize("compact", [False, True])
+def test_fused_backward_embed_mode(compact):
+  """Fused backward through the in-kernel embed MLP + edge matmul chain
+  (the denoiser's configuration), direct and compact gather paths."""
+  rs = np.random.RandomState(7)
+  G, M, C, F, bn = 24, 10, 128, 8, 8
+  senders = np.repeat(rs.randint(0, M, size=G), 3).astype(np.int32)
+  dec = FusedMesh2GridDecoder(senders, G, 5, block_nodes=bn,
+                              interpret=True, compact_gather=compact)
+  assert dec.compact == compact
+  grid = jnp.asarray(rs.randn(G, C), jnp.float32)
+  mesh_proj = jnp.asarray(rs.randn(M, C), jnp.float32)
+  raw = jnp.asarray(rs.randn(3 * G, F), jnp.float32)
+  const_slot = dec.rearrange_edge_array(raw)
+  sq = {k: jnp.asarray(rs.randn(C, C) / np.sqrt(C), jnp.float32)
+        for k in ["we", "ew1", "wr", "w1", "wng", "wna", "wn1", "wd0"]}
+  weights = {
+      **sq,
+      "ew0": jnp.asarray(rs.randn(F, C) / np.sqrt(F), jnp.float32),
+      "eb0": jnp.asarray(rs.randn(C) * 0.1, jnp.float32),
+      "eb1": jnp.asarray(rs.randn(C) * 0.1, jnp.float32),
+      "b0": jnp.asarray(rs.randn(C) * 0.1, jnp.float32),
+      "b1": jnp.asarray(rs.randn(C) * 0.1, jnp.float32),
+      "escale": jnp.asarray(1 + 0.1 * rs.randn(C), jnp.float32),
+      "eoffset": jnp.asarray(0.1 * rs.randn(C), jnp.float32),
+      "bn0": jnp.asarray(rs.randn(C) * 0.1, jnp.float32),
+      "bn1": jnp.asarray(rs.randn(C) * 0.1, jnp.float32),
+      "nscale": jnp.asarray(1 + 0.1 * rs.randn(C), jnp.float32),
+      "noffset": jnp.asarray(0.1 * rs.randn(C), jnp.float32),
+      "bd0": jnp.asarray(rs.randn(C) * 0.1, jnp.float32),
+      "wd1": jnp.asarray(rs.randn(C, dec.out_pad) / np.sqrt(C), jnp.float32),
+      "bd1": jnp.asarray(rs.randn(dec.out_pad) * 0.1, jnp.float32),
+  }
+  # Forward parity first (embed mode).
+  out = dec(grid, mesh_proj, const_slot, weights)
+  ref = dec._reference_math(grid, mesh_proj, const_slot, weights)
+  np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                             rtol=2e-5, atol=2e-5)
+
+  def loss_kernel(g, mp, cs, w):
+    return jnp.sum(dec(g, mp, cs, w) ** 2)
+
+  def loss_ref(g, mp, cs, w):
+    return jnp.sum(dec._reference_math(g, mp, cs, w) ** 2)
+
+  gk = jax.grad(loss_kernel, argnums=(0, 1, 2, 3))(
+      grid, mesh_proj, const_slot, weights)
+  gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(
+      grid, mesh_proj, const_slot, weights)
+  names = (["grid", "mesh", "const"]
+           + sorted(weights.keys()))
+  for name, a, b in zip(names, jax.tree_util.tree_leaves(gk),
+                        jax.tree_util.tree_leaves(gr)):
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=2e-3, atol=2e-3, err_msg=name)
+
+
+def test_fused_backward_compact_plain_mode():
+  """Compact-gather backward (dcomp accumulation + scatter-add) without the
+  embed/edge-matmul chain."""
+  rs = np.random.RandomState(11)
+  G, M, C, bn = 24, 10, 128, 8
+  senders = np.repeat(rs.randint(0, M, size=G), 3).astype(np.int32)
+  dec = FusedMesh2GridDecoder(senders, G, 5, block_nodes=bn,
+                              interpret=True, compact_gather=True,
+                              bwd_split=2)
+  grid = jnp.asarray(rs.randn(G, C), jnp.float32)
+  mesh_proj = jnp.asarray(rs.randn(M, C), jnp.float32)
+  const = jnp.asarray(rs.randn(3 * G, C), jnp.float32)
+  const_slot = dec.rearrange_edge_array(const)
+  sq = {k: jnp.asarray(rs.randn(C, C) / np.sqrt(C), jnp.float32)
+        for k in ["wr", "w1", "wng", "wna", "wn1", "wd0"]}
+  weights = {
+      **sq,
+      "b1": jnp.asarray(rs.randn(C) * 0.1, jnp.float32),
+      "escale": jnp.asarray(1 + 0.1 * rs.randn(C), jnp.float32),
+      "eoffset": jnp.asarray(0.1 * rs.randn(C), jnp.float32),
+      "bn0": jnp.asarray(rs.randn(C) * 0.1, jnp.float32),
+      "bn1": jnp.asarray(rs.randn(C) * 0.1, jnp.float32),
+      "nscale": jnp.asarray(1 + 0.1 * rs.randn(C), jnp.float32),
+      "noffset": jnp.asarray(0.1 * rs.randn(C), jnp.float32),
+      "bd0": jnp.asarray(rs.randn(C) * 0.1, jnp.float32),
+      "wd1": jnp.asarray(rs.randn(C, dec.out_pad) / np.sqrt(C), jnp.float32),
+      "bd1": jnp.asarray(rs.randn(dec.out_pad) * 0.1, jnp.float32),
+  }
+
+  def loss_kernel(g, mp, cs, w):
+    return jnp.sum(dec(g, mp, cs, w) ** 2)
+
+  def loss_ref(g, mp, cs, w):
+    return jnp.sum(dec._reference_math(g, mp, cs, w) ** 2)
+
+  gk = jax.grad(loss_kernel, argnums=(0, 1, 2, 3))(
+      grid, mesh_proj, const_slot, weights)
+  gr = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(
+      grid, mesh_proj, const_slot, weights)
   for a, b in zip(jax.tree_util.tree_leaves(gk),
                   jax.tree_util.tree_leaves(gr)):
     np.testing.assert_allclose(np.asarray(a), np.asarray(b),

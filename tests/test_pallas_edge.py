@@ -288,6 +288,49 @@ def test_processor_fused_training_grads_match_plain():
         rtol=5e-4, atol=5e-4, err_msg=str(k))
 
 
+def test_full_fused_training_grads_match_plain():
+  """fused_aggregation=True (fused encoder + processor + decoder, ALL with
+  fused backward kernels — the fully-fused training config) must give the
+  same loss and learned-param gradients as the plain XLA path."""
+  from graphcast_tpu import train
+  from graphcast_tpu.data import synthetic
+  from graphcast_tpu.models.graphcast import GraphCast
+  from tests.test_graphcast_model import TINY_MODEL, TINY_TASK
+
+  inputs, targets, forcings = synthetic.make_example_batch(
+      TINY_TASK, resolution=30.0, batch=1, num_target_times=1)
+  rng = jax.random.PRNGKey(0)
+  m_plain = GraphCast(TINY_MODEL, TINY_TASK, cache_dir="",
+                      fused_aggregation=False)
+  m_fused = GraphCast(TINY_MODEL, TINY_TASK, cache_dir="",
+                      fused_aggregation=True)
+  params = m_plain.init(rng, inputs, targets, forcings)
+  learned, statics_plain = train.partition_params(params)
+  params_fused = m_fused.attach_graph_statics(dict(learned), inputs)
+  _, statics_fused = train.partition_params(params_fused)
+  assert m_fused._m2g_decoder is not None
+  assert m_fused._m2g_decoder.fused_backward
+
+  def loss_of(model, statics):
+    def fn(lp):
+      loss, _ = model.loss({**lp, **statics}, rng, inputs, targets, forcings)
+      return jnp.mean(loss)  # loss is [batch]
+    return fn
+
+  l_plain, g_plain = jax.value_and_grad(loss_of(m_plain, statics_plain))(
+      learned)
+  l_fused, g_fused = jax.value_and_grad(loss_of(m_fused, statics_fused))(
+      learned)
+  np.testing.assert_allclose(float(l_fused), float(l_plain), rtol=1e-4)
+  flat_p = dict(jax.tree_util.tree_flatten_with_path(g_plain)[0])
+  flat_f = dict(jax.tree_util.tree_flatten_with_path(g_fused)[0])
+  assert flat_p.keys() == flat_f.keys()
+  for k in flat_p:
+    np.testing.assert_allclose(
+        np.asarray(flat_f[k]), np.asarray(flat_p[k]),
+        rtol=5e-4, atol=5e-4, err_msg=str(k))
+
+
 def _embed_setup(seed, f=32):
   """make_setup plus raw [E, f] edge features and embed-MLP weights."""
   summer, _, senders, receivers, e_pad, x, p = make_setup(seed=seed)
