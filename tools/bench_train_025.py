@@ -41,8 +41,9 @@ def main():
   # TRAIN_FUSED=processor (default) runs the 16 mesh-processor steps through
   # the fused Pallas forward+backward kernels while keeping the chunked
   # encode/decode whose lax.map remat bounds the backward memory; 0 = all
-  # chunked/XLA paths; 1 = all fused (the encode/decode kernels' VJPs
-  # recompute the unfused math — ~100 GB at 0.25°, OOM).
+  # chunked/XLA paths; 1 = all fused — encoder/decoder now run their own
+  # fused backward kernels too (no [3E, C] HBM buffers; the old XLA
+  # recompute VJPs needed ~100 GB here).
   fused = {"0": False, "1": True, "processor": "processor"}[
       os.environ.get("TRAIN_FUSED", "processor")]
   predictor = Autoregressive(
