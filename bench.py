@@ -234,9 +234,11 @@ def main():
   # Reference seconds per 12h step per member: 1.0° ≈ 6 s (3 min / 30 steps
   # on a v5e, docs/cloud_vm_setup.md:30-31); 0.25° ≈ 16 s (8 min / 30 steps
   # on 8x v5p 32 GB, docs/cloud_vm_setup.md:36).
-  gc_resolution = os.environ.get("BENCH_GENCAST_RESOLUTION", "1.0")
-  gencast_baseline_s = 16.0 if gc_resolution == "0.25" else 6.0
-  gc_artifact = ("BENCH_GENCAST_025.json" if gc_resolution == "0.25"
+  # Parse as float so equivalent spellings (0.25 / 0.250 / .25) pick the
+  # same baseline and artifact as the model built from it.
+  gc_resolution = float(os.environ.get("BENCH_GENCAST_RESOLUTION", "1.0"))
+  gencast_baseline_s = 16.0 if gc_resolution == 0.25 else 6.0
+  gc_artifact = ("BENCH_GENCAST_025.json" if gc_resolution == 0.25
                  else "BENCH_GENCAST.json")
 
   # GenCast metric (captured to BENCH_GENCAST.json every run; primary line

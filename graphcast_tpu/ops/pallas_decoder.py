@@ -50,6 +50,9 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from graphcast_tpu.ops.pallas_edge import (
+    _ln_bwd, _ln_moments, _ln_stats_for, _ln_stats_option)
+
 LN_EPS = 1e-5
 
 
@@ -61,7 +64,6 @@ def _swish(x):
 
 
 def _ln(y, scale, offset, mode="vpu"):
-  from graphcast_tpu.ops.pallas_edge import _ln_moments
   yc, rstd = _ln_moments(y, mode)
   return yc * rstd * scale + offset
 
@@ -115,7 +117,6 @@ def _decoder_kernel(*refs, compact, bn, edge_matmul, embed, ln_stats="vpu"):
           jnp.float32)
       hh = _swish(x.astype(g.dtype))
       y = _mm(hh, ew1_ref[:]) + eb1_ref[0][None].astype(jnp.float32)
-      from graphcast_tpu.ops.pallas_edge import _ln_moments
       eyc, erstd = _ln_moments(y, ln_stats)
       en = (eyc * erstd).astype(g.dtype)
       x0 = _mm(en, we_ref[:])
@@ -153,14 +154,6 @@ def _decoder_kernel(*refs, compact, bn, edge_matmul, embed, ln_stats="vpu"):
   out_ref[:] = out.astype(out_ref.dtype)
 
 
-def _ln_bwd(dyh, yh, rstd, mode):
-  """VJP of yh = (y - mean) * rstd given dyh (grad w.r.t. yh)."""
-  from graphcast_tpu.ops.pallas_edge import _row_mean
-  if mode == "off":
-    return dyh
-  m1 = _row_mean(dyh, mode)
-  m2 = _row_mean(dyh * yh, mode)
-  return rstd * (dyh - m1 - yh * m2)
 
 
 def _decoder_bwd_kernel(*refs, compact, split, edge_matmul, embed, ln_stats):
@@ -258,7 +251,6 @@ def _decoder_bwd_kernel(*refs, compact, split, edge_matmul, embed, ln_stats):
     def _init_dcomp():
       dcomp_ref[:] = jnp.zeros_like(dcomp_ref)
 
-  from graphcast_tpu.ops.pallas_edge import _ln_moments
 
   g = grid_ref[:]                                  # [bs, C] act dtype
   dtype = g.dtype
@@ -436,12 +428,7 @@ class FusedMesh2GridDecoder:
     plain-ops recompute. bwd_split > 1 runs the backward at
     block_nodes/bwd_split grid rows per step (the backward carries ~2× the
     forward's live VMEM plus the f32 weight-grad accumulators)."""
-    if ln_stats is None:
-      import os
-      ln_stats = os.environ.get("GC_LN_STATS", "vpu")
-    if ln_stats not in ("vpu", "mxu", "off"):
-      raise ValueError(f"unknown ln_stats {ln_stats!r}")
-    self.ln_stats = ln_stats
+    self.ln_stats = _ln_stats_option(ln_stats)
     if block_nodes % bwd_split:
       raise ValueError("bwd_split must divide block_nodes")
     self.fused_backward = fused_backward
@@ -613,9 +600,7 @@ class FusedMesh2GridDecoder:
           pl.BlockSpec((1, C), lambda i: (0, 0)),            # b0
       ]
       em_args += [w["we"].astype(dtype), w["b0"].reshape(1, C).astype(dtype)]
-    ln_stats = self.ln_stats
-    if ln_stats == "mxu" and C % 128:
-      ln_stats = "vpu"        # pltpu.repeat lane tiling needs whole vregs
+    ln_stats = _ln_stats_for(self.ln_stats, C)
     kernel = functools.partial(_decoder_kernel, compact=self.compact, bn=bn,
                                edge_matmul=edge_matmul, embed=embed,
                                ln_stats=ln_stats)
@@ -795,9 +780,7 @@ class FusedMesh2GridDecoder:
       out_specs.append(pl.BlockSpec(shp, lambda i: (0, 0)))
       out_shape.append(jax.ShapeDtypeStruct(shp, jnp.float32))
 
-    ln_stats = self.ln_stats
-    if ln_stats == "mxu" and C % 128:
-      ln_stats = "vpu"
+    ln_stats = _ln_stats_for(self.ln_stats, C)
     kernel = functools.partial(_decoder_bwd_kernel, compact=self.compact,
                                split=split, edge_matmul=edge_matmul,
                                embed=embed, ln_stats=ln_stats)

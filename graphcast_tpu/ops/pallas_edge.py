@@ -50,6 +50,21 @@ def _swish(x):
   return x * (one / (one + jnp.exp(-x)))
 
 
+def _ln_stats_option(ln_stats):
+  """Resolve/validate an ``ln_stats`` constructor option ($GC_LN_STATS)."""
+  if ln_stats is None:
+    import os
+    ln_stats = os.environ.get("GC_LN_STATS", "vpu")
+  if ln_stats not in ("vpu", "mxu", "off"):
+    raise ValueError(f"unknown ln_stats {ln_stats!r}")
+  return ln_stats
+
+
+def _ln_stats_for(ln_stats, C):
+  """Per-call downgrade: pltpu.repeat lane tiling needs C % 128 == 0."""
+  return "vpu" if (ln_stats == "mxu" and C % 128) else ln_stats
+
+
 def _row_mean(x, mode):
   """Per-row mean of x [R, C] (f32), broadcastable against x.
 
@@ -79,6 +94,19 @@ def _ln_moments(y, mode):
   yc = y - _row_mean(y, mode)
   var = _row_mean(yc * yc, mode)
   return yc, jax.lax.rsqrt(var + LN_EPS)
+
+
+def _ln_bwd(dyh, yh, rstd, mode):
+  """VJP of yh = (y - mean) * rstd given dyh (grad w.r.t. yh).
+
+  Shared by the edge-step and decoder backward kernels — the LN backward
+  formula must not diverge between them.
+  """
+  if mode == "off":
+    return dyh
+  m1 = _row_mean(dyh, mode)
+  m2 = _row_mean(dyh * yh, mode)
+  return rstd * (dyh - m1 - yh * m2)
 
 
 def _fused_edge_kernel(block_of, first_of, *refs, cs, bn, has_we,
@@ -287,12 +315,7 @@ def _fused_edge_bwd_kernel(block_of, first_of, *refs, cs, bn, has_we,
   dscale_ref[:] += jnp.sum(dyn * yh, axis=0, keepdims=True)
   doff_ref[:] += jnp.sum(dyn, axis=0, keepdims=True)
   dyh = dyn * scale_ref[0][None].astype(jnp.float32)
-  if ln_stats == "off":
-    dy = dyh
-  else:
-    m1 = _row_mean(dyh, ln_stats)
-    m2 = _row_mean(dyh * yh, ln_stats)
-    dy = rstd * (dyh - m1 - yh * m2)
+  dy = _ln_bwd(dyh, yh, rstd, ln_stats)
   db1_ref[:] += jnp.sum(dy, axis=0, keepdims=True)
   dyd = dy.astype(dtype)
   dw1_ref[:] += jax.lax.dot_general(
@@ -324,12 +347,7 @@ def _fused_edge_bwd_kernel(block_of, first_of, *refs, cs, bn, has_we,
   if embed:
     # Backward through the in-kernel embed chain: de is the grad w.r.t. the
     # embedded latent en = LN₀(hh @ Ew1 + eb1); LN₀ is parameter-free.
-    if ln_stats == "off":
-      dy0 = de
-    else:
-      em1 = _row_mean(de, ln_stats)
-      em2 = _row_mean(de * en_h, ln_stats)
-      dy0 = erstd * (de - em1 - en_h * em2)
+    dy0 = _ln_bwd(de, en_h, erstd, ln_stats)
     deb1_ref[:] += jnp.sum(dy0, axis=0, keepdims=True)
     dy0d = dy0.astype(dtype)
     dew1_ref[:] += jax.lax.dot_general(
@@ -383,12 +401,7 @@ class FusedEdgeStep:
     the kernels: "vpu" (jnp.mean lane reductions), "mxu" (ones-matmul on
     the MXU, see _row_mean), or "off" (skip the stats — profiling ceiling
     only, wrong numerics). Default: $GC_LN_STATS or "vpu"."""
-    if ln_stats is None:
-      import os
-      ln_stats = os.environ.get("GC_LN_STATS", "vpu")
-    if ln_stats not in ("vpu", "mxu", "off"):
-      raise ValueError(f"unknown ln_stats {ln_stats!r}")
-    self.ln_stats = ln_stats
+    self.ln_stats = _ln_stats_option(ln_stats)
     if not summer.padded_input:
       raise ValueError("FusedEdgeStep needs a padded-input BlockedSegmentSum")
     self._summer = summer
@@ -509,9 +522,7 @@ class FusedEdgeStep:
     def row(x):  # [C] params → [1, C] blocks
       return x.reshape(1, C)
 
-    ln_stats = self.ln_stats
-    if ln_stats == "mxu" and C % 128:
-      ln_stats = "vpu"        # pltpu.repeat tiling needs whole vregs
+    ln_stats = _ln_stats_for(self.ln_stats, C)
     kernel = functools.partial(
         _fused_edge_kernel, cs=cs, bn=bn,
         has_we=self.include_edge_matmul, write_eout=self.write_edges,
@@ -601,9 +612,7 @@ class FusedEdgeStep:
     d_agg_pad = jnp.pad(
         d_agg.astype(jnp.float32), ((0, nb * bn - d_agg.shape[0]), (0, 0)))
 
-    ln_stats = self.ln_stats
-    if ln_stats == "mxu" and C % 128:
-      ln_stats = "vpu"
+    ln_stats = _ln_stats_for(self.ln_stats, C)
     kernel = functools.partial(
         _fused_edge_bwd_kernel, cs=csb, bn=bn,
         has_we=self.include_edge_matmul, write_eout=self.write_edges,

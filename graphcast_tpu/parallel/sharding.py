@@ -74,7 +74,15 @@ def make_hybrid_mesh(axis_sizes: dict[str, int],
     raise ValueError(f"mesh {axis_sizes} needs {n_dcn * n_ici} devices, "
                      f"have {len(devices)}")
   slice_ids = {getattr(d, "slice_index", None) for d in devices}
-  if len(slice_ids) == n_dcn and None not in slice_ids and n_dcn > 1:
+  if None not in slice_ids and len(slice_ids) > 1:
+    # Real multi-slice hardware: the dcn factorization MUST match the
+    # physical slice count, else ICI axes would silently span DCN links
+    # (the exact topology error this function exists to prevent).
+    if len(slice_ids) != n_dcn:
+      raise ValueError(
+          f"devices span {len(slice_ids)} slices but dcn_axes {dcn_axes} "
+          f"give a total DCN factor of {n_dcn}; set dcn_axes so their "
+          "product equals the slice count (ICI axes must not cross DCN)")
     from jax.experimental import mesh_utils
     dev_array = mesh_utils.create_hybrid_device_mesh(
         ici_shape, dcn_shape, devices)

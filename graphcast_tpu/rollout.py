@@ -83,7 +83,14 @@ def chunked_prediction_generator(
   # predictor call and re-stamps the yields, which is only correct for
   # equispaced targets (reference: rollout.py:302-303).
   if target_times is not None and len(np.atleast_1d(target_times)) > 1:
-    if np.unique(np.diff(np.atleast_1d(target_times))).size > 1:
+    diffs = np.diff(np.atleast_1d(target_times))
+    if np.issubdtype(diffs.dtype, np.inexact):
+      # Float time coords evenly spaced up to rounding (e.g. np.arange with
+      # a non-representable step) must not be rejected for ULP noise.
+      equispaced = np.allclose(diffs, diffs.flat[0], rtol=1e-6, atol=0.0)
+    else:
+      equispaced = np.unique(diffs).size <= 1
+    if not equispaced:
       raise ValueError(
           "targets_template time coordinates must be evenly spaced for "
           f"chunked prediction; got {target_times!r}")

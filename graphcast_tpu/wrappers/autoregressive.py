@@ -102,6 +102,12 @@ class Autoregressive(WrapperPredictor):
     math, +1 extra forward recompute per step in exchange for the carry
     stacks."""
     super().__init__(predictor)
+    if loss_scan_block < 1:
+      raise ValueError(f"loss_scan_block must be >= 1, got {loss_scan_block}")
+    if loss_scan_block > 1 and not gradient_checkpointing:
+      raise ValueError(
+          "loss_scan_block > 1 requires gradient_checkpointing=True (the "
+          "block level IS a checkpoint boundary)")
     self._noise_level = noise_level
     self._gradient_checkpointing = gradient_checkpointing
     self._loss_scan_unroll = loss_scan_unroll
@@ -276,8 +282,14 @@ class Autoregressive(WrapperPredictor):
     unroll = max(1, min(self._loss_scan_unroll, num_steps))
     xs = (rngs, targets_xs, forcings_xs)
     k = self._loss_scan_block
-    if (k > 1 and self._gradient_checkpointing and num_steps > k
-        and num_steps % k == 0):
+    if k > 1 and num_steps > k and num_steps % k:
+      # Fail at trace time (seconds) rather than silently falling back to
+      # the per-step-checkpoint scan, whose backward can need tens of GB at
+      # 0.25° — discovered only after a ~27-minute cold compile on this rig.
+      raise ValueError(
+          f"loss_scan_block={k} must divide the number of AR steps "
+          f"({num_steps})")
+    if k > 1 and num_steps > k:
       # Two-level checkpointing: scan over blocks of k checkpointed steps,
       # with the block itself checkpointed — only block-boundary carries
       # are saved across the scan.

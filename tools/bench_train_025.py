@@ -44,8 +44,12 @@ def main():
   # chunked/XLA paths; 1 = all fused — encoder/decoder now run their own
   # fused backward kernels too (no [3E, C] HBM buffers; the old XLA
   # recompute VJPs needed ~100 GB here).
-  fused = {"0": False, "1": True, "processor": "processor"}[
-      os.environ.get("TRAIN_FUSED", "processor")]
+  fused_modes = {"0": False, "1": True, "processor": "processor"}
+  fused_env = os.environ.get("TRAIN_FUSED", "processor")
+  if fused_env not in fused_modes:
+    raise SystemExit(f"TRAIN_FUSED={fused_env!r}: expected one of "
+                     f"{sorted(fused_modes)}")
+  fused = fused_modes[fused_env]
   predictor = Autoregressive(
       InputsAndResiduals(
           Bfloat16Cast(GraphCast(model, task, decode_chunks=64,
