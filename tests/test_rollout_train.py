@@ -399,3 +399,54 @@ def test_loss_scan_block_invariance():
     np.testing.assert_allclose(
         np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7,
         err_msg=f"{jax.tree_util.keystr(path)}")
+
+
+def test_hybrid_mesh_rejects_slice_mismatch():
+  """Real multi-slice hardware whose slice count contradicts the requested
+  DCN factorization must raise — the contiguous-chunk emulation would lay
+  ICI axes across DCN links."""
+  import types
+  import pytest
+  fake = [types.SimpleNamespace(slice_index=i // 2) for i in range(8)]
+  with pytest.raises(ValueError, match="span 4 slices"):
+    sharding_lib.make_hybrid_mesh(
+        {"batch": 4, "model": 2}, dcn_axes={"batch": 2}, devices=fake)
+  # n_dcn == 1 on multi-slice devices is the same topology error.
+  with pytest.raises(ValueError, match="slices"):
+    sharding_lib.make_hybrid_mesh({"batch": 8}, devices=fake)
+
+
+def test_loss_scan_block_validation():
+  """Invalid loss_scan_block configs fail fast (construction or trace time)
+  instead of silently falling back to the per-step scan (whose backward
+  OOMs at 0.25 deg after a long compile)."""
+  import pytest
+  predictor, inputs, targets, forcings = build(num_targets=3, batch=1)
+  inner = predictor._predictor
+  with pytest.raises(ValueError, match="loss_scan_block"):
+    Autoregressive(inner, gradient_checkpointing=True, loss_scan_block=0)
+  with pytest.raises(ValueError, match="gradient_checkpointing"):
+    Autoregressive(inner, gradient_checkpointing=False, loss_scan_block=2)
+  ar = Autoregressive(inner, gradient_checkpointing=True, loss_scan_block=2)
+  rng = jax.random.PRNGKey(0)
+  params = ar.init(rng, inputs, targets, forcings)
+  with pytest.raises(ValueError, match="must divide"):
+    ar.loss(params, rng, inputs, targets, forcings)  # 3 steps, block 2
+
+
+def test_chunked_prediction_accepts_float_time_rounding():
+  """Float time coords evenly spaced up to ULP rounding (np.arange with a
+  non-representable step) must not be rejected."""
+  predictor, inputs, targets, forcings = build(num_targets=4, batch=1)
+  rng = jax.random.PRNGKey(0)
+  params = predictor.init(rng, inputs, targets, forcings)
+  times = np.arange(0.0, 0.4, 0.1)[:4]  # diffs differ at the ULP level
+  assert np.unique(np.diff(times)).size > 1  # the old exact check rejected
+  targets_f = targets.assign_coords(time=times)
+
+  def predictor_fn(rng, inputs, targets_template, forcings):
+    return predictor(params, rng, inputs, targets_template, forcings)
+
+  chunks = list(rollout.chunked_prediction_generator(
+      predictor_fn, rng, inputs, targets_f, forcings, num_steps_per_chunk=2))
+  assert len(chunks) == 2
