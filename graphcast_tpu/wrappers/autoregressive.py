@@ -84,7 +84,8 @@ class Autoregressive(WrapperPredictor):
                noise_level: Optional[float] = None,
                gradient_checkpointing: bool = False,
                loss_scan_unroll: int = 1,
-               loss_scan_block: int = 1):
+               loss_scan_block: int = 1,
+               loss_carry_offload: bool = False):
     """``loss_scan_unroll``: unroll factor for the AR-loss scan (clamped to
     the number of AR steps). At 0.25° the fully-unrolled 2-step backward
     packs ~2 GB tighter than the while-loop form (7% vs 32-34% buffer
@@ -100,7 +101,19 @@ class Autoregressive(WrapperPredictor):
     0.25°] window is ~0.8 GB each) and the per-step checkpoints inside the
     block bound the transient during the block's backward recompute. Same
     math, +1 extra forward recompute per step in exchange for the carry
-    stacks."""
+    stacks.
+
+    ``loss_carry_offload``: stage the inter-step carry windows in the TPU
+    host's pinned memory instead of HBM. The AR loss is python-unrolled
+    inside one outer ``jax.checkpoint`` whose policy
+    (``save_and_offload_only_these_names``) offloads the named carries to
+    ``pinned_host``; per-step inner checkpoints still bound the transient
+    during each step's backward recompute. Device HBM then holds no stacked
+    carry windows at all (each 2-frame 0.25° window is ~0.8 GB — the stacks
+    are what kept 4-step AR at 19.1 GB > 16 GB), at the price of one
+    d2h+h2d round trip per step, overlapped by XLA's async copies.
+    Supersedes ``loss_scan_unroll``/``loss_scan_block`` for the loss path
+    when set. Requires ``gradient_checkpointing``."""
     super().__init__(predictor)
     if loss_scan_block < 1:
       raise ValueError(f"loss_scan_block must be >= 1, got {loss_scan_block}")
@@ -108,10 +121,15 @@ class Autoregressive(WrapperPredictor):
       raise ValueError(
           "loss_scan_block > 1 requires gradient_checkpointing=True (the "
           "block level IS a checkpoint boundary)")
+    if loss_carry_offload and not gradient_checkpointing:
+      raise ValueError(
+          "loss_carry_offload requires gradient_checkpointing=True (the "
+          "offloaded carries are checkpoint residuals)")
     self._noise_level = noise_level
     self._gradient_checkpointing = gradient_checkpointing
     self._loss_scan_unroll = loss_scan_unroll
     self._loss_scan_block = loss_scan_block
+    self._loss_carry_offload = loss_carry_offload
 
   def init(self, rng, inputs, targets_template, forcings, **kwargs):
     # The inner one-step predictor only ever sees single-timestep targets
@@ -281,6 +299,19 @@ class Autoregressive(WrapperPredictor):
 
     unroll = max(1, min(self._loss_scan_unroll, num_steps))
     xs = (rngs, targets_xs, forcings_xs)
+    if self._loss_carry_offload and num_steps > 1:
+      losses, diagnostics, pred_ys = self._unrolled_offload_loss(
+          step, inputs, xs, num_steps)
+      loss = jnp.mean(losses, axis=0)
+      diagnostics = {k: jnp.mean(v, axis=0) for k, v in diagnostics.items()}
+      if not want_predictions:
+        return (loss, diagnostics), None
+      fields = {}
+      for name in targets.var_names:
+        tf = targets[name]
+        t_axis = tf.dims.index("time")
+        fields[name] = Field(jnp.moveaxis(pred_ys[name], 0, t_axis), tf.dims)
+      return (loss, diagnostics), FieldSet(fields, coords=targets.coords)
     k = self._loss_scan_block
     if k > 1 and num_steps > k and num_steps % k:
       # Fail at trace time (seconds) rather than silently falling back to
@@ -329,3 +360,36 @@ class Autoregressive(WrapperPredictor):
       fields[name] = Field(jnp.moveaxis(pred_ys[name], 0, t_axis), tf.dims)
     predictions = FieldSet(fields, coords=targets.coords)
     return (loss, diagnostics), predictions
+
+  @staticmethod
+  def _unrolled_offload_loss(step, inputs, xs, num_steps):
+    """Python-unrolled AR loss with host-offloaded inter-step carries.
+
+    The whole unrolled chain sits inside ONE outer jax.checkpoint whose
+    policy saves nothing on device and offloads the named ``ar_carry``
+    windows to pinned host memory; everything else is rematerialized in the
+    backward, with the per-step inner checkpoints (already applied to
+    ``step``) bounding each step's transient. The backward of step i then
+    starts from carry i-1 fetched from the host instead of from a
+    device-resident stack (reference semantics: autoregressive.py:289-304;
+    the memory scheme is ours — the reference has no 0.25° training path)."""
+    from jax.ad_checkpoint import checkpoint_name
+
+    policy = jax.checkpoint_policies.save_and_offload_only_these_names(
+        names_which_can_be_saved=[],
+        names_which_can_be_offloaded=["ar_carry"],
+        offload_src="device", offload_dst="pinned_host")
+
+    def whole(window, xs):
+      ys = []
+      for i in range(num_steps):
+        xs_i = jax.tree_util.tree_map(lambda x, i=i: x[i], xs)
+        window, y = step(window, xs_i)
+        if i + 1 < num_steps:
+          window = jax.tree_util.tree_map(
+              lambda a: checkpoint_name(a, "ar_carry"), window)
+        ys.append(y)
+      return jax.tree_util.tree_map(lambda *a: jnp.stack(a), *ys)
+
+    whole = jax.checkpoint(whole, policy=policy)
+    return whole(inputs, xs)

@@ -401,6 +401,58 @@ def test_loss_scan_block_invariance():
         err_msg=f"{jax.tree_util.keystr(path)}")
 
 
+def test_loss_carry_offload_invariance():
+  """loss_carry_offload (host-staged AR carries) is a memory knob: loss and
+  grads must match the per-step-checkpointed scan. f32 model (no
+  Bfloat16Cast) so the comparison is tight: the python-unrolled offload
+  graph fuses differently from the scan body, which at bf16 reassociates
+  segment sums to ~1e-3 grad noise — in f32 the residual drift is ~1e-5
+  and any structural bug (wrong carry, dropped step) is orders louder."""
+  from graphcast_tpu.data import synthetic as synth
+  from graphcast_tpu.models.graphcast import GraphCast
+  from graphcast_tpu.wrappers import Autoregressive, InputsAndResiduals
+
+  inputs, targets, forcings = synth.make_example_batch(
+      TINY_TASK, resolution=30.0, batch=1, num_target_times=3)
+  stddev, mean, diffs = synth.make_norm_stats(TINY_TASK)
+
+  def build(offload):
+    return Autoregressive(
+        InputsAndResiduals(
+            GraphCast(TINY_MODEL, TINY_TASK, cache_dir=""),
+            stddev_by_level=stddev, mean_by_level=mean,
+            diffs_stddev_by_level=diffs),
+        gradient_checkpointing=True, loss_carry_offload=offload)
+
+  rng = jax.random.PRNGKey(0)
+  p0 = build(False)
+  params = p0.init(rng, inputs, targets, forcings)
+  trainable, statics = train.partition_params(params)
+
+  def loss_of(model):
+    def fn(trainable):
+      loss, _ = model.loss(train.merge_params(trainable, statics), rng,
+                           inputs, targets, forcings)
+      return jnp.mean(loss)
+    return fn
+
+  l0, g0 = jax.value_and_grad(loss_of(p0))(trainable)
+  l1, g1 = jax.value_and_grad(loss_of(build(True)))(trainable)
+  np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+  for (path, a), (_, b) in zip(
+      jax.tree_util.tree_flatten_with_path(g0)[0],
+      jax.tree_util.tree_flatten_with_path(g1)[0]):
+    np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6,
+        err_msg=f"{jax.tree_util.keystr(path)}")
+  # And the knob fails fast without per-step checkpoints.
+  import pytest
+  inner = p0._predictor
+  with pytest.raises(ValueError, match="gradient_checkpointing"):
+    Autoregressive(inner, gradient_checkpointing=False,
+                   loss_carry_offload=True)
+
+
 def test_hybrid_mesh_rejects_slice_mismatch():
   """Real multi-slice hardware whose slice count contradicts the requested
   DCN factorization must raise — the contiguous-chunk emulation would lay

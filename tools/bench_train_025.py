@@ -60,7 +60,10 @@ def main():
           diffs_stddev_by_level=diffs),
       gradient_checkpointing=True,
       loss_scan_unroll=int(os.environ.get("AR_UNROLL", "4")),
-      loss_scan_block=int(os.environ.get("AR_BLOCK", "1")))
+      loss_scan_block=int(os.environ.get("AR_BLOCK", "1")),
+      # AR_OFFLOAD=1 stages inter-step carry windows in TPU-host pinned
+      # memory (the lever that fits 4-step AR in 16 GB HBM).
+      loss_carry_offload=bool(int(os.environ.get("AR_OFFLOAD", "0"))))
 
   inputs, targets, forcings = synthetic.make_example_batch(
       task, resolution=0.25, batch=1, num_target_times=ar_steps)
@@ -101,6 +104,7 @@ def main():
         "value": round(min(times), 3), "unit": "s",
         "compile_s": round(compile_s, 1),
         "fused": str(fused),
+        "carry_offload": bool(int(os.environ.get("AR_OFFLOAD", "0"))),
         "note": ("loss+grads+AdamW on ONE 16 GB v5e; reference ships no "
                  "training path (external JAXline); reproduce with "
                  f"python tools/bench_train_025.py {ar_steps}")}, f)

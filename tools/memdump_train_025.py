@@ -47,7 +47,9 @@ def main():
           stddev_by_level=stddev, mean_by_level=mean,
           diffs_stddev_by_level=diffs),
       gradient_checkpointing=True,
-      loss_scan_unroll=int(os.environ.get("AR_UNROLL", "4")))
+      loss_scan_unroll=int(os.environ.get("AR_UNROLL", "4")),
+      loss_scan_block=int(os.environ.get("AR_BLOCK", "1")),
+      loss_carry_offload=bool(int(os.environ.get("AR_OFFLOAD", "0"))))
 
   inputs, targets, forcings = synthetic.make_example_batch(
       task, resolution=resolution, batch=1, num_target_times=ar_steps)
