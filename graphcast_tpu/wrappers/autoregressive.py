@@ -300,8 +300,22 @@ class Autoregressive(WrapperPredictor):
     unroll = max(1, min(self._loss_scan_unroll, num_steps))
     xs = (rngs, targets_xs, forcings_xs)
     if self._loss_carry_offload and num_steps > 1:
+      # Per-step STATIC time slices instead of the scan's moveaxis'd xs:
+      # the [T-major] transposes of the full targets/forcings (~1.8 GB at
+      # 0.25°/4-step) otherwise live as HLO temps across the whole unrolled
+      # program; a static index_in_dim per step slices straight from the
+      # arguments and is rematerialized per step in the backward.
+      def xs_of(i):
+        tgt = {n: jax.lax.index_in_dim(
+            targets_nc[n].data, i, targets_nc[n].dims.index("time"),
+            keepdims=False) for n in targets_nc.var_names}
+        frc = {n: jax.lax.index_in_dim(
+            forcings[n].data, i, forcings[n].dims.index("time"),
+            keepdims=False) for n in forcings.var_names}
+        return (rngs[i], tgt, frc)
+
       losses, diagnostics, pred_ys = self._unrolled_offload_loss(
-          step, inputs, xs, num_steps)
+          step, inputs, xs_of, num_steps)
       loss = jnp.mean(losses, axis=0)
       diagnostics = {k: jnp.mean(v, axis=0) for k, v in diagnostics.items()}
       if not want_predictions:
@@ -362,7 +376,7 @@ class Autoregressive(WrapperPredictor):
     return (loss, diagnostics), predictions
 
   @staticmethod
-  def _unrolled_offload_loss(step, inputs, xs, num_steps):
+  def _unrolled_offload_loss(step, inputs, xs_of, num_steps):
     """Python-unrolled AR loss with host-offloaded inter-step carries.
 
     The whole unrolled chain sits inside ONE outer jax.checkpoint whose
@@ -380,11 +394,15 @@ class Autoregressive(WrapperPredictor):
         names_which_can_be_offloaded=["ar_carry"],
         offload_src="device", offload_dst="pinned_host")
 
-    def whole(window, xs):
+    def whole(window):
+      # xs_of(i) is called INSIDE the checkpointed region: the per-step
+      # target/forcing slices are then rematerialized from the (closed-over
+      # tracer) arguments during the backward instead of being saved — had
+      # they been passed in as checkpoint inputs, all T slices (~1.8 GB at
+      # 0.25°/4-step) would be residuals pinned in HBM.
       ys = []
       for i in range(num_steps):
-        xs_i = jax.tree_util.tree_map(lambda x, i=i: x[i], xs)
-        window, y = step(window, xs_i)
+        window, y = step(window, xs_of(i))
         if i + 1 < num_steps:
           window = jax.tree_util.tree_map(
               lambda a: checkpoint_name(a, "ar_carry"), window)
@@ -392,4 +410,4 @@ class Autoregressive(WrapperPredictor):
       return jax.tree_util.tree_map(lambda *a: jnp.stack(a), *ys)
 
     whole = jax.checkpoint(whole, policy=policy)
-    return whole(inputs, xs)
+    return whole(inputs)

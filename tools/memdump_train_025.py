@@ -42,7 +42,9 @@ def main():
       InputsAndResiduals(
           Bfloat16Cast(GraphCast(model, task, decode_chunks=64,
                                  encode_chunks=50,
-                                 fused_aggregation=False,
+                                 fused_aggregation={"0": False, "1": True,
+                                                    "processor": "processor"}[
+                                     os.environ.get("TRAIN_FUSED", "0")],
                                  remat_processor=True)),
           stddev_by_level=stddev, mean_by_level=mean,
           diffs_stddev_by_level=diffs),
