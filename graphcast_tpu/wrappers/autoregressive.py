@@ -112,8 +112,12 @@ class Autoregressive(WrapperPredictor):
     carry windows at all (each 2-frame 0.25° window is ~0.8 GB — the stacks
     are what kept 4-step AR at 19.1 GB > 16 GB), at the price of one
     d2h+h2d round trip per step, overlapped by XLA's async copies.
-    Supersedes ``loss_scan_unroll``/``loss_scan_block`` for the loss path
-    when set. Requires ``gradient_checkpointing``."""
+    With ``loss_scan_block == 1`` the loss is fully python-unrolled (NB:
+    measured WORSE at 0.25°/4-step — XLA overlaps the unrolled steps'
+    backward transients); with ``loss_scan_block > 1`` it composes with the
+    block scan, offloading the intra-block carries while the scan keeps the
+    per-block backwards serialized — the form that fits 4-step AR on one
+    chip. Requires ``gradient_checkpointing``."""
     super().__init__(predictor)
     if loss_scan_block < 1:
       raise ValueError(f"loss_scan_block must be >= 1, got {loss_scan_block}")
@@ -299,7 +303,13 @@ class Autoregressive(WrapperPredictor):
 
     unroll = max(1, min(self._loss_scan_unroll, num_steps))
     xs = (rngs, targets_xs, forcings_xs)
-    if self._loss_carry_offload and num_steps > 1:
+    if (self._loss_carry_offload and num_steps > 1
+        and self._loss_scan_block == 1):
+      # Fully-unrolled offload form. NB measured at 0.25°/4-step: the
+      # unrolled backward OVERLAPS per-step encoder transients (24.7 GB —
+      # worse than the scan's 19.1); prefer loss_scan_block>1 + offload,
+      # which keeps the scan's serialized backward and offloads the
+      # intra-block carries instead.
       # Per-step STATIC time slices instead of the scan's moveaxis'd xs:
       # the [T-major] transposes of the full targets/forcings (~1.8 GB at
       # 0.25°/4-step) otherwise live as HLO temps across the whole unrolled
@@ -337,7 +347,11 @@ class Autoregressive(WrapperPredictor):
     if k > 1 and num_steps > k:
       # Two-level checkpointing: scan over blocks of k checkpointed steps,
       # with the block itself checkpointed — only block-boundary carries
-      # are saved across the scan.
+      # are saved across the scan. With loss_carry_offload, the
+      # INTRA-block carries (intermediates of the block, so nameable) are
+      # additionally staged in pinned host memory; the scan's sequential
+      # dependency still serializes the per-block backward (the unrolled
+      # form overlaps them — see above).
       nb = num_steps // k
 
       def block(window, xs_block):
@@ -345,11 +359,23 @@ class Autoregressive(WrapperPredictor):
         for i in range(k):
           xs_i = jax.tree_util.tree_map(lambda x, i=i: x[i], xs_block)
           window, y = step(window, xs_i)
+          if self._loss_carry_offload and i + 1 < k:
+            from jax.ad_checkpoint import checkpoint_name
+            window = jax.tree_util.tree_map(
+                lambda a: checkpoint_name(a, "ar_carry"), window)
           ys.append(y)
         return window, jax.tree_util.tree_map(
             lambda *a: jnp.stack(a), *ys)
 
-      block = jax.checkpoint(block)
+      if self._loss_carry_offload:
+        block = jax.checkpoint(
+            block,
+            policy=jax.checkpoint_policies.save_and_offload_only_these_names(
+                names_which_can_be_saved=[],
+                names_which_can_be_offloaded=["ar_carry"],
+                offload_src="device", offload_dst="pinned_host"))
+      else:
+        block = jax.checkpoint(block)
       xs_b = jax.tree_util.tree_map(
           lambda x: x.reshape(nb, k, *x.shape[1:]), xs)
       _, ys_b = jax.lax.scan(block, inputs, xs_b,
