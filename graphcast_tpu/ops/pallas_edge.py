@@ -21,9 +21,13 @@ and the aggregation accumulates in the f32 output window that flushes once
 per block. gs (gathered sender projections) and Gr (per-block receiver
 projections) are produced outside with one XLA gather / small matmuls.
 
-The custom VJP recomputes the pipeline with plain XLA ops — exact math,
-unfused speed — so training works unchanged; the kernel is the inference
-fast path.
+The custom VJP runs a fused backward kernel by default
+(_fused_edge_bwd_kernel): each chunk recomputes its forward pipeline
+in-kernel and emits input grads (de, dgs, dGr via the flushed per-block
+accumulator) plus f32 parameter-grad accumulators in one HBM pass.
+``fused_backward=False`` falls back to XLA autodiff of a plain-ops
+recompute — exact but unfused; it is the grad-parity ground truth in
+tests/test_pallas_edge.py, not the training default.
 """
 
 from __future__ import annotations

@@ -13,6 +13,7 @@ from __future__ import annotations
 from typing import Optional
 
 import jax
+from jax.ad_checkpoint import checkpoint_name
 import jax.numpy as jnp
 
 from graphcast_tpu.fields import Field, FieldSet
@@ -304,7 +305,14 @@ class Autoregressive(WrapperPredictor):
     unroll = max(1, min(self._loss_scan_unroll, num_steps))
     xs = (rngs, targets_xs, forcings_xs)
     if (self._loss_carry_offload and num_steps > 1
-        and self._loss_scan_block == 1):
+        and (self._loss_scan_block == 1
+             or num_steps <= self._loss_scan_block)):
+      # NB the second arm: with loss_scan_block >= num_steps there is only
+      # one block, so the block scan below would never engage and the
+      # offload would silently be dropped (leaving the 19.1 GB HBM shape
+      # the knob exists to avoid, surfacing only as an OOM after a long
+      # remote compile). A single block of k unrolled offloaded steps is
+      # structurally the unrolled form, so route there.
       # Fully-unrolled offload form. NB measured at 0.25°/4-step: the
       # unrolled backward OVERLAPS per-step encoder transients (24.7 GB —
       # worse than the scan's 19.1); prefer loss_scan_block>1 + offload,
@@ -360,7 +368,6 @@ class Autoregressive(WrapperPredictor):
           xs_i = jax.tree_util.tree_map(lambda x, i=i: x[i], xs_block)
           window, y = step(window, xs_i)
           if self._loss_carry_offload and i + 1 < k:
-            from jax.ad_checkpoint import checkpoint_name
             window = jax.tree_util.tree_map(
                 lambda a: checkpoint_name(a, "ar_carry"), window)
           ys.append(y)
@@ -413,8 +420,6 @@ class Autoregressive(WrapperPredictor):
     starts from carry i-1 fetched from the host instead of from a
     device-resident stack (reference semantics: autoregressive.py:289-304;
     the memory scheme is ours — the reference has no 0.25° training path)."""
-    from jax.ad_checkpoint import checkpoint_name
-
     policy = jax.checkpoint_policies.save_and_offload_only_these_names(
         names_which_can_be_saved=[],
         names_which_can_be_offloaded=["ar_carry"],

@@ -496,6 +496,32 @@ def test_loss_carry_offload_block_invariance():
         np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6,
         err_msg=f"{jax.tree_util.keystr(path)}")
 
+  # block >= num_steps (one block) must still ENGAGE the offload — it
+  # routes through the unrolled form rather than silently falling back to
+  # the plain per-step scan (the 19.1 GB shape the knob exists to avoid).
+  m_eq = build(loss_scan_block=4, loss_carry_offload=True)   # block == steps
+  m_gt = build(loss_scan_block=8, loss_carry_offload=True)   # block > steps
+  calls = []
+  orig = Autoregressive._unrolled_offload_loss
+  try:
+    def spy(step, inputs, xs_of, num_steps):
+      calls.append(num_steps)
+      return orig(step, inputs, xs_of, num_steps)
+    Autoregressive._unrolled_offload_loss = staticmethod(spy)
+    l2, g2 = jax.value_and_grad(loss_of(m_eq))(trainable)
+    l3, _ = jax.value_and_grad(loss_of(m_gt))(trainable)
+  finally:
+    Autoregressive._unrolled_offload_loss = staticmethod(orig)
+  assert calls == [4, 4], f"offload not engaged for one-block configs: {calls}"
+  np.testing.assert_allclose(float(l0), float(l2), rtol=1e-6)
+  np.testing.assert_allclose(float(l0), float(l3), rtol=1e-6)
+  for (path, a), (_, b) in zip(
+      jax.tree_util.tree_flatten_with_path(g0)[0],
+      jax.tree_util.tree_flatten_with_path(g2)[0]):
+    np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6,
+        err_msg=f"{jax.tree_util.keystr(path)}")
+
 
 def test_hybrid_mesh_rejects_slice_mismatch():
   """Real multi-slice hardware whose slice count contradicts the requested

@@ -13,6 +13,17 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+_TRAIN_FUSED_VALUES = {"0": False, "1": True, "processor": "processor"}
+
+
+def _train_fused():
+  raw = os.environ.get("TRAIN_FUSED", "0")
+  if raw not in _TRAIN_FUSED_VALUES:
+    raise SystemExit(
+        f"TRAIN_FUSED must be one of {sorted(_TRAIN_FUSED_VALUES)}, "
+        f"got {raw!r}")
+  return _TRAIN_FUSED_VALUES[raw]
+
 
 def main():
   ar_steps = int(sys.argv[1]) if len(sys.argv) > 1 else 2
@@ -42,9 +53,7 @@ def main():
       InputsAndResiduals(
           Bfloat16Cast(GraphCast(model, task, decode_chunks=64,
                                  encode_chunks=50,
-                                 fused_aggregation={"0": False, "1": True,
-                                                    "processor": "processor"}[
-                                     os.environ.get("TRAIN_FUSED", "0")],
+                                 fused_aggregation=_train_fused(),
                                  remat_processor=True)),
           stddev_by_level=stddev, mean_by_level=mean,
           diffs_stddev_by_level=diffs),
