@@ -9,6 +9,15 @@ attention for the RCM-banded k-hop mesh masks:
   entry, plus per-(q,kv)-block dense bitmaps for partially-masked blocks.
   Fully-masked blocks are never visited — compute scales with the band, not
   N².
+- Fully-UNMASKED blocks carry no bitmap at all: per-slot ``mask_rows``
+  point into a compact bitmap table whose row 0 means "full — skip
+  masking"; the kernels branch on it with ``pl.when`` and skip the VPU
+  bitmap unpack + select entirely (the reference kernel's
+  ``mask_type='full'`` specialization, sparse_transformer.py:257-259).
+  At k-hop-16 the mask interior is dense, so most visited blocks take the
+  fast path; the compact table (shared by both map orientations) also
+  shrinks the threaded statics ~5× and lets runs of full blocks skip the
+  mask DMA (same block index ⇒ Mosaic reuses the fetched buffer).
 - Forward: flash-style streaming softmax (f32 accumulators in VMEM) over the
   active kv blocks of each q block; emits logsumexp for the backward pass.
 - Backward: custom VJP with two Pallas kernels — dq over the q-block map,
@@ -56,9 +65,13 @@ def _build_block_map(mask: sp.csr_matrix, block_q: int, block_kv: int):
   Returns dict with:
     kv_index:  [nq, ma]  kv-block id per slot (0-padded)
     kv_count:  [nq]      number of active slots
-    mask_blocks: [nq * ma, block_q, block_kv] bool bitmaps (all-True for
-      padded slots, so they are harmless if visited)
-    plus transposed maps (q_index, q_count, mask_blocks_t) for dkv.
+    mask_rows: [nq, ma]  bitmap-table row per slot; 0 = fully-unmasked
+      block (or padded slot) — the kernels skip masking for it entirely
+    mask_blocks: [1 + n_partial, block_q, block_kv//32] packed bitmaps,
+      COMPACT: only partially-masked blocks get a row; row 0 is a reserved
+      all-ones dummy (never consumed — the full branch skips the unpack)
+    plus transposed maps (q_index, q_count, mask_rows_t) for dkv;
+    mask_blocks_t is the SAME table (both orientations share the bitmaps).
   """
   n = mask.shape[0]
   nq = -(-n // block_q)
@@ -80,18 +93,33 @@ def _build_block_map(mask: sp.csr_matrix, block_q: int, block_kv: int):
   qb = rows // block_q
   kb = cols // block_kv
   bid = qb * nkv + kb
-  uniq = np.unique(bid)                   # active blocks, sorted (qb, kb)
+  # Active blocks, sorted (qb, kb), with per-block nnz to detect FULL
+  # blocks (every entry unmasked ⇒ no bitmap needed). Blocks straddling
+  # the padded tail can never be full: padded coords are absent from the
+  # mask, so their nnz < block_q * block_kv and they stay partial — the
+  # bitmap then correctly masks the padded k/v rows to NEG_INF.
+  uniq, nnz_per_block = np.unique(bid, return_counts=True)
   n_active = len(uniq)
   qb_u = (uniq // nkv).astype(np.int64)
   kb_u = (uniq % nkv).astype(np.int64)
 
-  # Per-active-block packed bitmaps, shared by both map orientations.
-  # Packing matches _pack_mask_bits: column j → word j % nw, bit j // nw.
-  packed = np.zeros((max(n_active, 1), block_q, nw), dtype=np.uint32)
+  full = nnz_per_block == block_q * block_kv
+  n_partial = int((~full).sum())
+  # row_of[a]: compact bitmap row of active block a (0 = full fast path).
+  row_of = np.zeros(max(n_active, 1), dtype=np.int32)
+  row_of[np.nonzero(~full)[0]] = np.arange(1, n_partial + 1, dtype=np.int32)
+
+  # Packed bitmaps for the partial blocks only, shared by both map
+  # orientations. Packing matches _pack_mask_bits: column j → word j % nw,
+  # bit j // nw.
+  mask_blocks = np.zeros((1 + n_partial, block_q, nw), dtype=np.uint32)
+  mask_blocks[0] = np.uint32(0xFFFFFFFF)   # dummy "full" row
   inv = np.searchsorted(uniq, bid)
-  lr = rows % block_q
-  lc = cols % block_kv
-  np.bitwise_or.at(packed, (inv, lr, lc % nw),
+  dest = row_of[inv]
+  sel = dest > 0                           # coords in full blocks need no bits
+  lr = rows[sel] % block_q
+  lc = cols[sel] % block_kv
+  np.bitwise_or.at(mask_blocks, (dest[sel], lr, lc % nw),
                    np.uint32(1) << (lc // nw).astype(np.uint32))
 
   kv_count = np.bincount(qb_u, minlength=nq).astype(np.int32)
@@ -100,8 +128,8 @@ def _build_block_map(mask: sp.csr_matrix, block_q: int, block_kv: int):
   slot = np.arange(n_active, dtype=np.int64) - offs[qb_u]
   kv_index = np.zeros((nq, ma), dtype=np.int32)
   kv_index[qb_u, slot] = kb_u
-  mask_blocks = np.zeros((nq * ma, block_q, nw), dtype=np.uint32)
-  mask_blocks[qb_u * ma + slot] = packed[:n_active]
+  mask_rows = np.zeros((nq, ma), dtype=np.int32)
+  mask_rows[qb_u, slot] = row_of[:n_active]
 
   order_t = np.argsort(kb_u * nq + qb_u, kind="stable")
   q_count = np.bincount(kb_u, minlength=nkv).astype(np.int32)
@@ -110,16 +138,16 @@ def _build_block_map(mask: sp.csr_matrix, block_q: int, block_kv: int):
   slot_t = np.arange(n_active, dtype=np.int64) - offs_t[kb_u[order_t]]
   q_index = np.zeros((nkv, mat), dtype=np.int32)
   q_index[kb_u[order_t], slot_t] = qb_u[order_t]
-  mask_blocks_t = np.zeros((nkv * mat, block_q, nw), dtype=np.uint32)
-  mask_blocks_t[kb_u[order_t] * mat + slot_t] = packed[order_t]
+  mask_rows_t = np.zeros((nkv, mat), dtype=np.int32)
+  mask_rows_t[kb_u[order_t], slot_t] = row_of[:n_active][order_t]
 
   return dict(
       n=n, nq=nq, nkv=nkv, ma=ma, mat=mat,
       n_q_pad=n_q_pad, n_kv_pad=n_kv_pad,
       kv_index=kv_index, kv_count=kv_count,
-      mask_blocks=mask_blocks,
+      mask_rows=mask_rows, mask_blocks=mask_blocks,
       q_index=q_index, q_count=q_count,
-      mask_blocks_t=mask_blocks_t,
+      mask_rows_t=mask_rows_t, mask_blocks_t=mask_blocks,
   )
 
 
@@ -145,7 +173,7 @@ def _pack_mask_bits(mask: np.ndarray) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def _fwd_kernel(kv_index, kv_count, q_ref, k_ref, v_ref, mask_ref,
+def _fwd_kernel(kv_index, kv_count, mask_rows, q_ref, k_ref, v_ref, mask_ref,
                 o_ref, lse_ref, m_scr, l_scr, acc_scr, *, scale, ma):
   j = pl.program_id(2)
   i = pl.program_id(1)
@@ -163,20 +191,33 @@ def _fwd_kernel(kv_index, kv_count, q_ref, k_ref, v_ref, mask_ref,
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32) * scale  # [bq, bkv]
-    mask = _unpack_mask(mask_ref[0], s.shape[0], s.shape[1])
-    s = jnp.where(mask, s, NEG_INF)
 
-    m_prev = m_scr[:, :1]                          # [bq, 1]
-    m_cur = jnp.max(s, axis=-1, keepdims=True)     # [bq, 1]
-    m_new = jnp.maximum(m_prev, m_cur)
-    alpha = jnp.exp(m_prev - m_new)                # [bq, 1]
-    p = jnp.exp(s - m_new)                         # [bq, bkv]
-    l_new = l_scr[:, :1] * alpha + jnp.sum(p, axis=-1, keepdims=True)
-    acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
-        p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
-    l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
+    def update(s):
+      m_prev = m_scr[:, :1]                          # [bq, 1]
+      m_cur = jnp.max(s, axis=-1, keepdims=True)     # [bq, 1]
+      m_new = jnp.maximum(m_prev, m_cur)
+      alpha = jnp.exp(m_prev - m_new)                # [bq, 1]
+      p = jnp.exp(s - m_new)                         # [bq, bkv]
+      l_new = l_scr[:, :1] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+      acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
+          p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+          preferred_element_type=jnp.float32)
+      m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
+      l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
+
+    # Full-block fast path: row 0 ⇒ every entry unmasked; skip the VPU
+    # bitmap unpack + select (the dominant avoidable cost in this
+    # softmax-bound kernel — most visited blocks are full at k-hop-16).
+    full = mask_rows[i, j] == 0
+
+    @pl.when(full)
+    def _full():
+      update(s)
+
+    @pl.when(jnp.logical_not(full))
+    def _partial():
+      mask = _unpack_mask(mask_ref[0], s.shape[0], s.shape[1])
+      update(jnp.where(mask, s, NEG_INF))
 
   @pl.when(j == ma - 1)
   def _finalize():
@@ -189,9 +230,10 @@ def _fwd_kernel(kv_index, kv_count, q_ref, k_ref, v_ref, mask_ref,
 def _fwd(q, k, v, block_map, block_q, block_kv, scale, interpret,
          statics=None):
   """q,k,v: [bh, n_pad, d] (already padded). Returns (o, lse).
-  ``statics``: optional device arrays {kv_index, kv_count, mask_blocks}
-  threaded as jit args (the bitpacked masks are ~65 MB at 0.25°/mesh-6 and
-  would otherwise inline into the HLO once per transformer layer)."""
+  ``statics``: optional device arrays {kv_index, kv_count, mask_rows,
+  mask_blocks} threaded as jit args (the bitpacked masks — compact, partial
+  blocks only — would otherwise inline into the HLO once per transformer
+  layer)."""
   bh, n_q_pad, d = q.shape
   nq, ma = block_map["nq"], block_map["ma"]
   st = statics or {}
@@ -201,6 +243,9 @@ def _fwd(q, k, v, block_map, block_q, block_kv, scale, interpret,
   kv_count = st.get("kv_count")
   if kv_count is None:
     kv_count = jnp.asarray(block_map["kv_count"])
+  mask_rows = st.get("mask_rows")
+  if mask_rows is None:
+    mask_rows = jnp.asarray(block_map["mask_rows"])
   mask_blocks = st.get("mask_blocks")
   if mask_blocks is None:
     mask_blocks = jnp.asarray(block_map["mask_blocks"])
@@ -212,20 +257,23 @@ def _fwd(q, k, v, block_map, block_q, block_kv, scale, interpret,
       jax.ShapeDtypeStruct((bh, n_q_pad, 1), jnp.float32),
   )
   grid_spec = pltpu.PrefetchScalarGridSpec(
-      num_scalar_prefetch=2,
+      num_scalar_prefetch=3,
       grid=grid,
       in_specs=[
-          pl.BlockSpec((1, block_q, d), lambda b, i, j, kvi, kvc: (b, i, 0)),
+          pl.BlockSpec((1, block_q, d),
+                       lambda b, i, j, kvi, kvc, mrw: (b, i, 0)),
           pl.BlockSpec((1, block_kv, d),
-                       lambda b, i, j, kvi, kvc: (b, kvi[i, j], 0)),
+                       lambda b, i, j, kvi, kvc, mrw: (b, kvi[i, j], 0)),
           pl.BlockSpec((1, block_kv, d),
-                       lambda b, i, j, kvi, kvc: (b, kvi[i, j], 0)),
+                       lambda b, i, j, kvi, kvc, mrw: (b, kvi[i, j], 0)),
           pl.BlockSpec((1, block_q, block_kv // 32),
-                       lambda b, i, j, kvi, kvc: (i * ma + j, 0, 0)),
+                       lambda b, i, j, kvi, kvc, mrw: (mrw[i, j], 0, 0)),
       ],
       out_specs=[
-          pl.BlockSpec((1, block_q, d), lambda b, i, j, kvi, kvc: (b, i, 0)),
-          pl.BlockSpec((1, block_q, 1), lambda b, i, j, kvi, kvc: (b, i, 0)),
+          pl.BlockSpec((1, block_q, d),
+                       lambda b, i, j, kvi, kvc, mrw: (b, i, 0)),
+          pl.BlockSpec((1, block_q, 1),
+                       lambda b, i, j, kvi, kvc, mrw: (b, i, 0)),
       ],
       scratch_shapes=[
           pltpu.VMEM((block_q, 128), jnp.float32),
@@ -240,7 +288,8 @@ def _fwd(q, k, v, block_map, block_q, block_kv, scale, interpret,
       # pipeline/reorder across the parallel dims.
       compiler_params=pltpu.CompilerParams(
           dimension_semantics=("parallel", "parallel", "arbitrary")),
-      interpret=interpret)(kv_index, kv_count, q, k, v, mask_blocks)
+      interpret=interpret)(kv_index, kv_count, mask_rows, q, k, v,
+                           mask_blocks)
   return o, lse[..., 0]
 
 
@@ -249,8 +298,8 @@ def _fwd(q, k, v, block_map, block_q, block_kv, scale, interpret,
 # ---------------------------------------------------------------------------
 
 
-def _dq_kernel(kv_index, kv_count, q_ref, k_ref, v_ref, mask_ref, do_ref,
-               lse_ref, delta_ref, dq_ref, dq_scr, *, scale, ma):
+def _dq_kernel(kv_index, kv_count, mask_rows, q_ref, k_ref, v_ref, mask_ref,
+               do_ref, lse_ref, delta_ref, dq_ref, dq_scr, *, scale, ma):
   j = pl.program_id(2)
   i = pl.program_id(1)
 
@@ -265,25 +314,36 @@ def _dq_kernel(kv_index, kv_count, q_ref, k_ref, v_ref, mask_ref, do_ref,
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32) * scale
-    mask = _unpack_mask(mask_ref[0], s.shape[0], s.shape[1])
-    s = jnp.where(mask, s, NEG_INF)
-    p = jnp.exp(s - lse_ref[0])                    # [bq, bkv]
-    do = do_ref[0]
+    # Mask-independent: hoisted out of the full/partial branches.
     dp = jax.lax.dot_general(
-        do, v_ref[0], (((1,), (1,)), ((), ())),
+        do_ref[0], v_ref[0], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)         # [bq, bkv]
-    ds = p * (dp - delta_ref[0]) * scale            # [bq, bkv]
-    dq_scr[:] += jax.lax.dot_general(
-        ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)
+
+    def update(s):
+      p = jnp.exp(s - lse_ref[0])                   # [bq, bkv]
+      ds = p * (dp - delta_ref[0]) * scale          # [bq, bkv]
+      dq_scr[:] += jax.lax.dot_general(
+          ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+          preferred_element_type=jnp.float32)
+
+    full = mask_rows[i, j] == 0                     # see _fwd_kernel
+
+    @pl.when(full)
+    def _full():
+      update(s)
+
+    @pl.when(jnp.logical_not(full))
+    def _partial():
+      mask = _unpack_mask(mask_ref[0], s.shape[0], s.shape[1])
+      update(jnp.where(mask, s, NEG_INF))
 
   @pl.when(j == ma - 1)
   def _finalize():
     dq_ref[0] = dq_scr[:].astype(dq_ref.dtype)
 
 
-def _dkv_kernel(q_index, q_count, q_ref, k_ref, v_ref, mask_ref, do_ref,
-                lse_ref, delta_ref, dk_ref, dv_ref, dk_scr, dv_scr,
+def _dkv_kernel(q_index, q_count, mask_rows_t, q_ref, k_ref, v_ref, mask_ref,
+                do_ref, lse_ref, delta_ref, dk_ref, dv_ref, dk_scr, dv_scr,
                 *, scale, mat):
   s_idx = pl.program_id(2)
   j = pl.program_id(1)
@@ -300,20 +360,32 @@ def _dkv_kernel(q_index, q_count, q_ref, k_ref, v_ref, mask_ref, do_ref,
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32) * scale  # [bq, bkv]
-    mask = _unpack_mask(mask_ref[0], s.shape[0], s.shape[1])
-    s = jnp.where(mask, s, NEG_INF)
-    p = jnp.exp(s - lse_ref[0])                      # [bq, bkv]
     do = do_ref[0]                                   # [bq, d]
-    dv_scr[:] += jax.lax.dot_general(
-        p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)           # [bkv, d]
+    # Mask-independent: hoisted out of the full/partial branches.
     dp = jax.lax.dot_general(
         do, v_ref[0], (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)           # [bq, bkv]
-    ds = p * (dp - delta_ref[0]) * scale              # [bq, bkv]
-    dk_scr[:] += jax.lax.dot_general(
-        ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)           # [bkv, d]
+
+    def update(s):
+      p = jnp.exp(s - lse_ref[0])                     # [bq, bkv]
+      dv_scr[:] += jax.lax.dot_general(
+          p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+          preferred_element_type=jnp.float32)         # [bkv, d]
+      ds = p * (dp - delta_ref[0]) * scale            # [bq, bkv]
+      dk_scr[:] += jax.lax.dot_general(
+          ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+          preferred_element_type=jnp.float32)         # [bkv, d]
+
+    full = mask_rows_t[j, s_idx] == 0                 # see _fwd_kernel
+
+    @pl.when(full)
+    def _full():
+      update(s)
+
+    @pl.when(jnp.logical_not(full))
+    def _partial():
+      mask = _unpack_mask(mask_ref[0], s.shape[0], s.shape[1])
+      update(jnp.where(mask, s, NEG_INF))
 
   @pl.when(s_idx == mat - 1)
   def _finalize():
@@ -337,9 +409,10 @@ def _bwd(q, k, v, o, lse, do, block_map, block_q, block_kv, scale, interpret,
   sizes and are re-padded here if the backward map pads differently.
   Zero-padded rows are inert: their mask bits are False (p=0 with lse
   re-padded to 0) and their do/delta are 0.
-  ``statics``: optional device arrays {kv_index, kv_count, mask_blocks,
-  q_index, q_count, mask_blocks_t} for THIS map, threaded as jit args so the
-  bitpacked masks don't inline as HLO constants under jax.grad (rig rule 8)."""
+  ``statics``: optional device arrays {kv_index, kv_count, mask_rows,
+  mask_blocks, q_index, q_count, mask_rows_t, mask_blocks_t} for THIS map,
+  threaded as jit args so the bitpacked masks don't inline as HLO constants
+  under jax.grad (rig rule 8)."""
   n = block_map["n"]
   q = _repad(q, n, block_map["n_q_pad"])
   o = _repad(o, n, block_map["n_q_pad"])
@@ -364,6 +437,9 @@ def _bwd(q, k, v, o, lse, do, block_map, block_q, block_kv, scale, interpret,
   kv_count = st.get("kv_count")
   if kv_count is None:
     kv_count = jnp.asarray(block_map["kv_count"])
+  mask_rows = st.get("mask_rows")
+  if mask_rows is None:
+    mask_rows = jnp.asarray(block_map["mask_rows"])
   mask_blocks = st.get("mask_blocks")
   if mask_blocks is None:
     mask_blocks = jnp.asarray(block_map["mask_blocks"])
@@ -371,33 +447,33 @@ def _bwd(q, k, v, o, lse, do, block_map, block_q, block_kv, scale, interpret,
   dq = pl.pallas_call(
       functools.partial(_dq_kernel, scale=scale, ma=ma),
       grid_spec=pltpu.PrefetchScalarGridSpec(
-          num_scalar_prefetch=2,
+          num_scalar_prefetch=3,
           grid=(bh, nq, ma),
           in_specs=[
               pl.BlockSpec((1, block_q, d),
-                           lambda b, i, j, kvi, kvc: (b, i, 0)),
+                           lambda b, i, j, kvi, kvc, mrw: (b, i, 0)),
               pl.BlockSpec((1, block_kv, d),
-                           lambda b, i, j, kvi, kvc: (b, kvi[i, j], 0)),
+                           lambda b, i, j, kvi, kvc, mrw: (b, kvi[i, j], 0)),
               pl.BlockSpec((1, block_kv, d),
-                           lambda b, i, j, kvi, kvc: (b, kvi[i, j], 0)),
+                           lambda b, i, j, kvi, kvc, mrw: (b, kvi[i, j], 0)),
               pl.BlockSpec((1, block_q, block_kv // 32),
-                           lambda b, i, j, kvi, kvc: (i * ma + j, 0, 0)),
+                           lambda b, i, j, kvi, kvc, mrw: (mrw[i, j], 0, 0)),
               pl.BlockSpec((1, block_q, d),
-                           lambda b, i, j, kvi, kvc: (b, i, 0)),
+                           lambda b, i, j, kvi, kvc, mrw: (b, i, 0)),
               pl.BlockSpec((1, block_q, 1),
-                           lambda b, i, j, kvi, kvc: (b, i, 0)),
+                           lambda b, i, j, kvi, kvc, mrw: (b, i, 0)),
               pl.BlockSpec((1, block_q, 1),
-                           lambda b, i, j, kvi, kvc: (b, i, 0)),
+                           lambda b, i, j, kvi, kvc, mrw: (b, i, 0)),
           ],
           out_specs=pl.BlockSpec((1, block_q, d),
-                                 lambda b, i, j, kvi, kvc: (b, i, 0)),
+                                 lambda b, i, j, kvi, kvc, mrw: (b, i, 0)),
           scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
       ),
       out_shape=jax.ShapeDtypeStruct((bh, n_q_pad, d), q.dtype),
       compiler_params=pltpu.CompilerParams(
           dimension_semantics=("parallel", "parallel", "arbitrary")),
       interpret=interpret,
-  )(kv_index, kv_count, q, k, v, mask_blocks, do, lse_b, delta_b)
+  )(kv_index, kv_count, mask_rows, q, k, v, mask_blocks, do, lse_b, delta_b)
 
   q_index = st.get("q_index")
   if q_index is None:
@@ -405,6 +481,9 @@ def _bwd(q, k, v, o, lse, do, block_map, block_q, block_kv, scale, interpret,
   q_count = st.get("q_count")
   if q_count is None:
     q_count = jnp.asarray(block_map["q_count"])
+  mask_rows_t = st.get("mask_rows_t")
+  if mask_rows_t is None:
+    mask_rows_t = jnp.asarray(block_map["mask_rows_t"])
   mask_blocks_t = st.get("mask_blocks_t")
   if mask_blocks_t is None:
     mask_blocks_t = jnp.asarray(block_map["mask_blocks_t"])
@@ -412,29 +491,29 @@ def _bwd(q, k, v, o, lse, do, block_map, block_q, block_kv, scale, interpret,
   dk, dv = pl.pallas_call(
       functools.partial(_dkv_kernel, scale=scale, mat=mat),
       grid_spec=pltpu.PrefetchScalarGridSpec(
-          num_scalar_prefetch=2,
+          num_scalar_prefetch=3,
           grid=(bh, nkv, mat),
           in_specs=[
               pl.BlockSpec((1, block_q, d),
-                           lambda b, j, s, qi, qc: (b, qi[j, s], 0)),
+                           lambda b, j, s, qi, qc, mrwt: (b, qi[j, s], 0)),
               pl.BlockSpec((1, block_kv, d),
-                           lambda b, j, s, qi, qc: (b, j, 0)),
+                           lambda b, j, s, qi, qc, mrwt: (b, j, 0)),
               pl.BlockSpec((1, block_kv, d),
-                           lambda b, j, s, qi, qc: (b, j, 0)),
+                           lambda b, j, s, qi, qc, mrwt: (b, j, 0)),
               pl.BlockSpec((1, block_q, block_kv // 32),
-                           lambda b, j, s, qi, qc: (j * mat + s, 0, 0)),
+                           lambda b, j, s, qi, qc, mrwt: (mrwt[j, s], 0, 0)),
               pl.BlockSpec((1, block_q, d),
-                           lambda b, j, s, qi, qc: (b, qi[j, s], 0)),
+                           lambda b, j, s, qi, qc, mrwt: (b, qi[j, s], 0)),
               pl.BlockSpec((1, block_q, 1),
-                           lambda b, j, s, qi, qc: (b, qi[j, s], 0)),
+                           lambda b, j, s, qi, qc, mrwt: (b, qi[j, s], 0)),
               pl.BlockSpec((1, block_q, 1),
-                           lambda b, j, s, qi, qc: (b, qi[j, s], 0)),
+                           lambda b, j, s, qi, qc, mrwt: (b, qi[j, s], 0)),
           ],
           out_specs=[
               pl.BlockSpec((1, block_kv, d),
-                           lambda b, j, s, qi, qc: (b, j, 0)),
+                           lambda b, j, s, qi, qc, mrwt: (b, j, 0)),
               pl.BlockSpec((1, block_kv, d),
-                           lambda b, j, s, qi, qc: (b, j, 0)),
+                           lambda b, j, s, qi, qc, mrwt: (b, j, 0)),
           ],
           scratch_shapes=[
               pltpu.VMEM((block_kv, d), jnp.float32),
@@ -448,7 +527,8 @@ def _bwd(q, k, v, o, lse, do, block_map, block_q, block_kv, scale, interpret,
       compiler_params=pltpu.CompilerParams(
           dimension_semantics=("parallel", "parallel", "arbitrary")),
       interpret=interpret,
-  )(q_index, q_count, q, k, v, mask_blocks_t, do, lse_b, delta_b)
+  )(q_index, q_count, mask_rows_t, q, k, v, mask_blocks_t, do, lse_b,
+    delta_b)
 
   return dq, dk, dv
 
@@ -513,16 +593,20 @@ class BlockSparseAttention:
     jax.grad through the attention inlines no large constants either."""
     m = self._map
     out = {"kv_index": m["kv_index"], "kv_count": m["kv_count"],
-           "mask_blocks": m["mask_blocks"]}
+           "mask_rows": m["mask_rows"], "mask_blocks": m["mask_blocks"]}
     bm = self._bwd_map
     out["bwd_q_index"] = bm["q_index"]
     out["bwd_q_count"] = bm["q_count"]
-    out["bwd_mask_blocks_t"] = bm["mask_blocks_t"]
+    out["bwd_mask_rows_t"] = bm["mask_rows_t"]
     if bm is not self._map:
       # Distinct backward block sizes: the dq kernel needs the backward
-      # map's own q→kv arrays too (otherwise it reuses the forward ones).
+      # map's own q→kv arrays too (otherwise it reuses the forward ones),
+      # and the backward map has its own compact bitmap table (shared by
+      # its two orientations — when the maps coincide, "mask_blocks" IS
+      # that table and no second copy is uploaded).
       out["bwd_kv_index"] = bm["kv_index"]
       out["bwd_kv_count"] = bm["kv_count"]
+      out["bwd_mask_rows"] = bm["mask_rows"]
       out["bwd_mask_blocks"] = bm["mask_blocks"]
     return out
 
@@ -574,26 +658,31 @@ class SequenceParallelAttention:
   sums are reduced by shard_map's transpose (k/v enter replicated).
   """
 
-  _STATIC_NAMES = ("kv_index", "kv_count", "mask_blocks",
-                   "q_index", "q_count", "mask_t")
+  _STATIC_NAMES = ("kv_index", "kv_count", "mask_rows", "mask_blocks",
+                   "q_index", "q_count", "mask_rows_t")
+  # The compact bitmap table ("mask_blocks") is REPLICATED across shards
+  # (it holds only the partially-masked blocks and is shared by both map
+  # orientations); everything else shards along the q-block axis.
+  _REPLICATED = ("mask_blocks",)
 
   def __init__(self, attn: "BlockSparseAttention", mesh, axis: str):
     m = attn._map
     S = int(mesh.shape[axis])
     nq, nkv, ma = m["nq"], m["nkv"], m["ma"]
-    bq, bkv = attn._block_q, attn._block_kv
     if nq % S:
       raise ValueError(
           f"{nq} q blocks do not divide over {S} '{axis}' shards; pick a "
           f"block_q so the padded node count splits evenly")
     nq_l = nq // S
-    q_index, q_count, mask_t, mat_l = _build_shard_transposed_maps(m, S)
+    q_index, q_count, mask_rows_t, mat_l = _build_shard_transposed_maps(m, S)
     self._statics = {
         "kv_index": m["kv_index"].reshape(S, nq_l, ma),
         "kv_count": m["kv_count"].reshape(S, nq_l),
-        "mask_blocks": m["mask_blocks"].reshape(S, nq_l * ma, bq, bkv // 32),
-        "q_index": q_index, "q_count": q_count, "mask_t": mask_t,
+        "mask_rows": m["mask_rows"].reshape(S, nq_l, ma),
+        "mask_blocks": m["mask_blocks"],
+        "q_index": q_index, "q_count": q_count, "mask_rows_t": mask_rows_t,
     }
+    bq, bkv = attn._block_q, attn._block_kv
     self._dims = _SpDims(nq_l, nkv, ma, mat_l, nq_l * bq, m["n_kv_pad"],
                          bq, bkv)
     self._mesh = mesh
@@ -631,15 +720,17 @@ class SequenceParallelAttention:
         else jnp.asarray(self._statics[name])
         for name in self._STATIC_NAMES)
 
-    def local_fn(qb, kb, vb, kvi, kvc, mb, qi, qc, mbt):
-      return _attend_arrays(qb, kb, vb, kvi[0], kvc[0], mb[0], qi[0],
-                            qc[0], mbt[0], dims, scale, interpret)
+    def local_fn(qb, kb, vb, kvi, kvc, mrw, mb, qi, qc, mrwt):
+      # mb (the compact bitmap table) arrives whole — replicated spec.
+      return _attend_arrays(qb, kb, vb, kvi[0], kvc[0], mrw[0], mb, qi[0],
+                            qc[0], mrwt[0], dims, scale, interpret)
 
     # check_vma off: pallas_call out_shapes don't carry vma metadata.
     sharded = shard_map(
         local_fn, mesh=self._mesh,
         in_specs=(P(None, axis, None), P(), P(),
-                  P(axis), P(axis), P(axis), P(axis), P(axis), P(axis)),
+                  P(axis), P(axis), P(axis), P(), P(axis), P(axis),
+                  P(axis)),
         out_specs=P(None, axis, None),
         check_vma=False)
 
@@ -702,16 +793,24 @@ def _attend_bwd(holder, scale, interpret, residuals, do):
     # forward map, the forward q→kv arrays are reused for the dq kernel.
     same = holder.bwd_map is holder.map
     bwd_statics = {}
-    for name in ("kv_index", "kv_count", "mask_blocks"):
+    for name in ("kv_index", "kv_count", "mask_rows", "mask_blocks"):
       val = statics.get("bwd_" + name)
       if val is None and same:
         val = statics.get(name)
       if val is not None:
         bwd_statics[name] = val
-    for name in ("q_index", "q_count", "mask_blocks_t"):
+    for name in ("q_index", "q_count", "mask_rows_t"):
       val = statics.get("bwd_" + name)
       if val is not None:
         bwd_statics[name] = val
+    # Both orientations share one compact bitmap table per map: the dkv
+    # kernel's table is the backward map's own ("bwd_mask_blocks") when the
+    # block sizes differ, else the forward table.
+    val = statics.get("bwd_mask_blocks")
+    if val is None and same:
+      val = statics.get("mask_blocks")
+    if val is not None:
+      bwd_statics["mask_blocks_t"] = val
   dq, dk, dv = _bwd(q, k, v, o, lse, do, holder.bwd_map, holder.block_q_bwd,
                     holder.block_kv_bwd, scale, interpret,
                     statics=bwd_statics)
@@ -762,84 +861,87 @@ class _SpDims:
   def __eq__(self, other):
     return isinstance(other, _SpDims) and other._key() == self._key()
 
-  def as_map(self, kv_index, kv_count, mask_blocks, q_index, q_count,
-             mask_blocks_t):
+  def as_map(self, kv_index, kv_count, mask_rows, mask_blocks, q_index,
+             q_count, mask_rows_t):
     return dict(
         n=self.n_q_pad, nq=self.nq, nkv=self.nkv, ma=self.ma, mat=self.mat,
         n_q_pad=self.n_q_pad, n_kv_pad=self.n_kv_pad,
-        kv_index=kv_index, kv_count=kv_count, mask_blocks=mask_blocks,
-        q_index=q_index, q_count=q_count, mask_blocks_t=mask_blocks_t)
+        kv_index=kv_index, kv_count=kv_count, mask_rows=mask_rows,
+        mask_blocks=mask_blocks, q_index=q_index, q_count=q_count,
+        mask_rows_t=mask_rows_t, mask_blocks_t=mask_blocks)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11))
-def _attend_arrays(q, k, v, kv_index, kv_count, mask_blocks,
-                   q_index, q_count, mask_blocks_t, dims, scale, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12))
+def _attend_arrays(q, k, v, kv_index, kv_count, mask_rows, mask_blocks,
+                   q_index, q_count, mask_rows_t, dims, scale, interpret):
   """Like _attend, but with the block maps as ARRAY operands (required for
   SPMD: under shard_map each device carries its own map slice)."""
-  m = dims.as_map(kv_index, kv_count, mask_blocks, q_index, q_count,
-                  mask_blocks_t)
+  m = dims.as_map(kv_index, kv_count, mask_rows, mask_blocks, q_index,
+                  q_count, mask_rows_t)
   o, _ = _fwd(q, k, v, m, dims.block_q, dims.block_kv, scale, interpret)
   return o
 
 
-def _attend_arrays_fwd(q, k, v, kv_index, kv_count, mask_blocks,
-                       q_index, q_count, mask_blocks_t, dims, scale,
+def _attend_arrays_fwd(q, k, v, kv_index, kv_count, mask_rows, mask_blocks,
+                       q_index, q_count, mask_rows_t, dims, scale,
                        interpret):
-  m = dims.as_map(kv_index, kv_count, mask_blocks, q_index, q_count,
-                  mask_blocks_t)
+  m = dims.as_map(kv_index, kv_count, mask_rows, mask_blocks, q_index,
+                  q_count, mask_rows_t)
   o, lse = _fwd(q, k, v, m, dims.block_q, dims.block_kv, scale, interpret)
-  return o, (q, k, v, o, lse, kv_index, kv_count, mask_blocks, q_index,
-             q_count, mask_blocks_t)
+  return o, (q, k, v, o, lse, kv_index, kv_count, mask_rows, mask_blocks,
+             q_index, q_count, mask_rows_t)
 
 
 def _attend_arrays_bwd(dims, scale, interpret, residuals, do):
-  (q, k, v, o, lse, kv_index, kv_count, mask_blocks, q_index, q_count,
-   mask_blocks_t) = residuals
-  m = dims.as_map(kv_index, kv_count, mask_blocks, q_index, q_count,
-                  mask_blocks_t)
+  (q, k, v, o, lse, kv_index, kv_count, mask_rows, mask_blocks, q_index,
+   q_count, mask_rows_t) = residuals
+  m = dims.as_map(kv_index, kv_count, mask_rows, mask_blocks, q_index,
+                  q_count, mask_rows_t)
   dq, dk, dv = _bwd(q, k, v, o, lse, do, m, dims.block_q, dims.block_kv,
                     scale, interpret)
 
   def f0(x):  # integer operands take float0 cotangents
     return np.zeros(x.shape, jax.dtypes.float0)
 
-  return (dq, dk, dv, f0(kv_index), f0(kv_count), f0(mask_blocks),
-          f0(q_index), f0(q_count), f0(mask_blocks_t))
+  return (dq, dk, dv, f0(kv_index), f0(kv_count), f0(mask_rows),
+          f0(mask_blocks), f0(q_index), f0(q_count), f0(mask_rows_t))
 
 
 _attend_arrays.defvjp(_attend_arrays_fwd, _attend_arrays_bwd)
 
 
 def _build_shard_transposed_maps(block_map, num_shards):
-  """Per-shard kv→(local q block) maps for the dkv kernel."""
+  """Per-shard kv→(local q block) maps for the dkv kernel.
+
+  The compact bitmap table is global (replicated across shards); only the
+  row POINTERS are re-derived per shard from the forward map's mask_rows."""
   nq, nkv, ma = block_map["nq"], block_map["nkv"], block_map["ma"]
   nq_l = nq // num_shards
   kv_index = block_map["kv_index"]
   kv_count = block_map["kv_count"]
-  mask_blocks = block_map["mask_blocks"]  # [nq*ma, bq, bkv//32]
+  mask_rows = block_map["mask_rows"]
 
   per_shard = [[[] for _ in range(nkv)] for _ in range(num_shards)]
   for i in range(nq):
     s = i // nq_l
     for slot in range(int(kv_count[i])):
       j = int(kv_index[i, slot])
-      per_shard[s][j].append((i - s * nq_l, i * ma + slot))
+      per_shard[s][j].append((i - s * nq_l, int(mask_rows[i, slot])))
   mat_l = max(
       (len(lst) for shard in per_shard for lst in shard), default=1)
   mat_l = max(mat_l, 1)
 
-  bq_words = mask_blocks.shape[1:]
   q_index = np.zeros((num_shards, nkv, mat_l), np.int32)
   q_count = np.zeros((num_shards, nkv), np.int32)
-  mask_t = np.zeros((num_shards, nkv * mat_l) + bq_words, mask_blocks.dtype)
+  mask_rows_t = np.zeros((num_shards, nkv, mat_l), np.int32)
   for s in range(num_shards):
     for j in range(nkv):
       lst = per_shard[s][j]
       q_count[s, j] = len(lst)
-      for t, (local_q, mask_row) in enumerate(lst):
+      for t, (local_q, row) in enumerate(lst):
         q_index[s, j, t] = local_q
-        mask_t[s, j * mat_l + t] = mask_blocks[mask_row]
-  return q_index, q_count, mask_t, mat_l
+        mask_rows_t[s, j, t] = row
+  return q_index, q_count, mask_rows_t, mat_l
 
 
 def reference_masked_attention(q, k, v, mask, scale=None):

@@ -141,7 +141,7 @@ def test_splash_grad_consts_small():
       mask, block_q=128, block_kv=128, interpret=True,
       block_q_dkv=256, block_kv_dkv=256)
   statics = {k: jnp.asarray(v) for k, v in attn.host_statics().items()}
-  assert "bwd_mask_blocks_t" in statics and "bwd_mask_blocks" in statics
+  assert "bwd_mask_rows_t" in statics and "bwd_mask_blocks" in statics
 
   q = jnp.asarray(rng.randn(1, n, 1, 128), jnp.float32)
   k = jnp.asarray(rng.randn(1, n, 1, 128), jnp.float32)

@@ -77,3 +77,37 @@ def test_transformer_grads_flow():
   assert float(jnp.abs(g).sum()) > 0
   g_nc = grads["final_norm_conditioning"]["w"]
   assert float(jnp.abs(g_nc).sum()) > 0
+
+
+def test_build_triblock_masks_sparse_matches_dense():
+  """The O(nnz) sparse-native build must equal the dense-derived slicing,
+  including padded tail blocks, and reject out-of-band entries."""
+  from graphcast_tpu.models.sparse_transformer import build_triblock_masks
+
+  rng = np.random.RandomState(0)
+  n, bs = 150, 32  # padded = 160 → 5 blocks, 10 padding rows/cols
+  ij = np.abs(np.arange(n)[:, None] - np.arange(n)[None, :])
+  dense = (ij < 20) & (rng.rand(n, n) < 0.7)
+  np.fill_diagonal(dense, True)
+  got, num_padding = build_triblock_masks(sp.csr_matrix(dense), bs)
+
+  padded = 160
+  assert num_padding == padded - n
+  big = np.zeros((padded, padded), dtype=bool)
+  big[:n, :n] = dense
+  nb = padded // bs
+  want = np.zeros((3, nb, bs, bs), dtype=bool)
+  for i in range(nb):
+    q0 = i * bs
+    want[0, i] = big[q0:q0 + bs, q0:q0 + bs]
+    if i + 1 < nb:
+      want[1, i] = big[q0:q0 + bs, q0 + bs:q0 + 2 * bs]
+    if i > 0:
+      want[2, i] = big[q0:q0 + bs, q0 - bs:q0]
+  np.testing.assert_array_equal(got, want)
+
+  # An entry two blocks off the diagonal must be rejected, not dropped.
+  bad = dense.copy()
+  bad[0, 2 * bs + 1] = True
+  with np.testing.assert_raises(ValueError):
+    build_triblock_masks(sp.csr_matrix(bad), bs)

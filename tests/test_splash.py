@@ -132,9 +132,16 @@ def test_bf16_path():
 def test_block_map_matches_dense_construction():
   """The sparse-native _build_block_map (no mask.toarray densify — O(nnz)
   host memory, required beyond mesh-6) must reproduce the dense-derived
-  block structure exactly, including padding and both map orientations."""
-  n, bq, bkv = 520, 128, 128   # non-multiple n → padded tail blocks
+  block structure exactly, including padding, the full-block fast path
+  (mask_rows == 0 ⇔ every entry unmasked), and both map orientations
+  sharing one compact bitmap table."""
+  n, bq, bkv = 520, 64, 64   # non-multiple n → padded tail blocks
   mask = make_banded_mask(n, 48, seed=3)
+  # Force some FULL blocks: a dense square aligned to the block grid.
+  dense_patch = sp.csr_matrix(np.ones((128, 128), dtype=bool))
+  mask = mask.tolil()
+  mask[128:256, 128:256] = dense_patch
+  mask = mask.tocsr()
   got = splash._build_block_map(mask, bq, bkv)
 
   nq, nkv = -(-n // bq), -(-n // bkv)
@@ -142,33 +149,85 @@ def test_block_map_matches_dense_construction():
   dense[:n, :n] = mask.toarray()
   blocks = dense.reshape(nq, bq, nkv, bkv).transpose(0, 2, 1, 3)
   active = blocks.any(axis=(2, 3))
+  full = blocks.all(axis=(2, 3))
+  assert full.any(), "test mask must contain full blocks"
+  assert (active & ~full).any(), "test mask must contain partial blocks"
+
+  def check_block(i, j, row):
+    if full[i, j]:
+      assert row == 0, (i, j)
+    else:
+      assert row > 0, (i, j)
+      np.testing.assert_array_equal(
+          got["mask_blocks"][row],
+          splash._pack_mask_bits(blocks[i, j][None])[0])
 
   kv_lists = [np.nonzero(active[i])[0] for i in range(nq)]
   ma = max(len(l) for l in kv_lists)
   assert got["ma"] == ma and got["nq"] == nq and got["nkv"] == nkv
-  mask_blocks = np.zeros((nq, ma, bq, bkv), dtype=bool)
   for i, lst in enumerate(kv_lists):
     assert got["kv_count"][i] == len(lst)
     np.testing.assert_array_equal(got["kv_index"][i, :len(lst)], lst)
     assert not got["kv_index"][i, len(lst):].any()
+    assert not got["mask_rows"][i, len(lst):].any()   # padded slots → row 0
     for s, j in enumerate(lst):
-      mask_blocks[i, s] = blocks[i, j]
-  np.testing.assert_array_equal(
-      got["mask_blocks"],
-      splash._pack_mask_bits(mask_blocks.reshape(nq * ma, bq, bkv)))
+      check_block(i, j, got["mask_rows"][i, s])
 
   q_lists = [np.nonzero(active[:, j])[0] for j in range(nkv)]
   mat = max(len(l) for l in q_lists)
   assert got["mat"] == mat
-  mask_blocks_t = np.zeros((nkv, mat, bq, bkv), dtype=bool)
+  assert got["mask_blocks_t"] is got["mask_blocks"]   # shared compact table
   for j, lst in enumerate(q_lists):
     assert got["q_count"][j] == len(lst)
     np.testing.assert_array_equal(got["q_index"][j, :len(lst)], lst)
     for s, i in enumerate(lst):
-      mask_blocks_t[j, s] = blocks[i, j]
-  np.testing.assert_array_equal(
-      got["mask_blocks_t"],
-      splash._pack_mask_bits(mask_blocks_t.reshape(nkv * mat, bq, bkv)))
+      check_block(i, j, got["mask_rows_t"][j, s])
+
+  # Compactness: exactly one table row per partial block, plus the dummy.
+  n_partial = int((active & ~full).sum())
+  assert got["mask_blocks"].shape == (1 + n_partial, bq, bkv // 32)
+  assert (got["mask_blocks"][0] == np.uint32(0xFFFFFFFF)).all()
+
+
+def test_full_block_fast_path_matches_dense():
+  """A mask with fully-unmasked interior blocks must take the row-0 fast
+  path and still match dense attention exactly — forward and grads."""
+  n = 256
+  dense_mask = np.zeros((n, n), dtype=bool)
+  dense_mask[:128, :128] = True                     # 4 full 64x64 blocks...
+  rng_np = np.random.RandomState(7)
+  dense_mask[128:, :] = rng_np.rand(128, n) < 0.3   # ...plus partial ones
+  np.fill_diagonal(dense_mask, True)
+  mask = sp.csr_matrix(dense_mask)
+  attn = splash.BlockSparseAttention.from_mask(mask, block_q=64,
+                                               block_kv=64, interpret=True)
+  assert (attn._map["mask_rows"] == 0).any()
+  assert (attn._map["mask_rows"] > 0).any()
+
+  rng = jax.random.PRNGKey(9)
+  kq, kk, kv_, kt = jax.random.split(rng, 4)
+  shape = (1, n, 2, 128)
+  q = jax.random.normal(kq, shape, jnp.float32)
+  k = jax.random.normal(kk, shape, jnp.float32)
+  v = jax.random.normal(kv_, shape, jnp.float32)
+  target = jax.random.normal(kt, shape, jnp.float32)
+
+  got = attn(q, k, v)
+  want = splash.reference_masked_attention(q, k, v, jnp.asarray(dense_mask))
+  np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                             rtol=2e-4, atol=2e-4)
+
+  def loss(fn):
+    return lambda q, k, v: jnp.sum((fn(q, k, v) - target) ** 2)
+
+  dense_fn = lambda q, k, v: splash.reference_masked_attention(
+      q, k, v, jnp.asarray(dense_mask))
+  g_splash = jax.grad(loss(attn), argnums=(0, 1, 2))(q, k, v)
+  g_dense = jax.grad(loss(dense_fn), argnums=(0, 1, 2))(q, k, v)
+  for gs, gd, name in zip(g_splash, g_dense, "qkv"):
+    np.testing.assert_allclose(np.asarray(gs), np.asarray(gd),
+                               rtol=2e-3, atol=2e-3,
+                               err_msg=f"d{name} mismatch")
 
 
 def test_block_map_sparsity():
