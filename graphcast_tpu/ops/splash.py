@@ -12,12 +12,13 @@ attention for the RCM-banded k-hop mesh masks:
 - Fully-UNMASKED blocks carry no bitmap at all: per-slot ``mask_rows``
   point into a compact bitmap table whose row 0 means "full — skip
   masking"; the kernels branch on it with ``pl.when`` and skip the VPU
-  bitmap unpack + select entirely (the reference kernel's
-  ``mask_type='full'`` specialization, sparse_transformer.py:257-259).
-  At k-hop-16 the mask interior is dense, so most visited blocks take the
-  fast path; the compact table (shared by both map orientations) also
-  shrinks the threaded statics ~5× and lets runs of full blocks skip the
-  mask DMA (same block index ⇒ Mosaic reuses the fetched buffer).
+  bitmap unpack + select (the upstream splash kernel's full-block
+  specialization in its MaskInfo protocol). NB the GenCast k-hop-16
+  masks under BFS-patch ordering have NO full blocks at any practical
+  tile size (measured round 4: 0 at 512², 0.7% at 64²), so maps without
+  full blocks statically compile the masked path only (``has_full``) —
+  the dead branch cost ~4-7% end-to-end. The compact table (shared by
+  both map orientations) still shrinks the threaded statics ~5×.
 - Forward: flash-style streaming softmax (f32 accumulators in VMEM) over the
   active kv blocks of each q block; emits logsumexp for the backward pass.
 - Backward: custom VJP with two Pallas kernels — dq over the q-block map,
@@ -148,6 +149,12 @@ def _build_block_map(mask: sp.csr_matrix, block_q: int, block_kv: int):
       mask_rows=mask_rows, mask_blocks=mask_blocks,
       q_index=q_index, q_count=q_count,
       mask_rows_t=mask_rows_t, mask_blocks_t=mask_blocks,
+      # Static specialization knob: with no full blocks the kernels compile
+      # the masked path only (no per-block branch). Measured: the dead
+      # branch costs ~4-7% at the GenCast configs, whose k-hop-16 masks
+      # have ZERO full 512-blocks (0.7% even at 64x64) — the fast path is
+      # real only for masks with genuinely dense interiors.
+      has_full=bool(n_active > n_partial),
   )
 
 
@@ -174,7 +181,8 @@ def _pack_mask_bits(mask: np.ndarray) -> np.ndarray:
 
 
 def _fwd_kernel(kv_index, kv_count, mask_rows, q_ref, k_ref, v_ref, mask_ref,
-                o_ref, lse_ref, m_scr, l_scr, acc_scr, *, scale, ma):
+                o_ref, lse_ref, m_scr, l_scr, acc_scr, *, scale, ma,
+                has_full):
   j = pl.program_id(2)
   i = pl.program_id(1)
 
@@ -205,19 +213,27 @@ def _fwd_kernel(kv_index, kv_count, mask_rows, q_ref, k_ref, v_ref, mask_ref,
       m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
       l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
 
-    # Full-block fast path: row 0 ⇒ every entry unmasked; skip the VPU
-    # bitmap unpack + select (the dominant avoidable cost in this
-    # softmax-bound kernel — most visited blocks are full at k-hop-16).
-    full = mask_rows[i, j] == 0
-
-    @pl.when(full)
-    def _full():
-      update(s)
-
-    @pl.when(jnp.logical_not(full))
-    def _partial():
+    def masked(s):
       mask = _unpack_mask(mask_ref[0], s.shape[0], s.shape[1])
-      update(jnp.where(mask, s, NEG_INF))
+      return jnp.where(mask, s, NEG_INF)
+
+    if not has_full:
+      # Static specialization: no full blocks in this map — compile the
+      # masked path only (the dead branch costs ~4-7% at the GenCast
+      # configs, whose masks have no full blocks at any practical tile).
+      update(masked(s))
+    else:
+      # Full-block fast path: row 0 ⇒ every entry unmasked; skip the VPU
+      # bitmap unpack + select.
+      full = mask_rows[i, j] == 0
+
+      @pl.when(full)
+      def _full():
+        update(s)
+
+      @pl.when(jnp.logical_not(full))
+      def _partial():
+        update(masked(s))
 
   @pl.when(j == ma - 1)
   def _finalize():
@@ -251,7 +267,8 @@ def _fwd(q, k, v, block_map, block_q, block_kv, scale, interpret,
     mask_blocks = jnp.asarray(block_map["mask_blocks"])
 
   grid = (bh, nq, ma)
-  kernel = functools.partial(_fwd_kernel, scale=scale, ma=ma)
+  kernel = functools.partial(_fwd_kernel, scale=scale, ma=ma,
+                             has_full=bool(block_map.get("has_full", True)))
   out_shape = (
       jax.ShapeDtypeStruct((bh, n_q_pad, d), q.dtype),
       jax.ShapeDtypeStruct((bh, n_q_pad, 1), jnp.float32),
@@ -299,7 +316,8 @@ def _fwd(q, k, v, block_map, block_q, block_kv, scale, interpret,
 
 
 def _dq_kernel(kv_index, kv_count, mask_rows, q_ref, k_ref, v_ref, mask_ref,
-               do_ref, lse_ref, delta_ref, dq_ref, dq_scr, *, scale, ma):
+               do_ref, lse_ref, delta_ref, dq_ref, dq_scr, *, scale, ma,
+               has_full):
   j = pl.program_id(2)
   i = pl.program_id(1)
 
@@ -326,16 +344,22 @@ def _dq_kernel(kv_index, kv_count, mask_rows, q_ref, k_ref, v_ref, mask_ref,
           ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
           preferred_element_type=jnp.float32)
 
-    full = mask_rows[i, j] == 0                     # see _fwd_kernel
-
-    @pl.when(full)
-    def _full():
-      update(s)
-
-    @pl.when(jnp.logical_not(full))
-    def _partial():
+    def masked(s):
       mask = _unpack_mask(mask_ref[0], s.shape[0], s.shape[1])
-      update(jnp.where(mask, s, NEG_INF))
+      return jnp.where(mask, s, NEG_INF)
+
+    if not has_full:
+      update(masked(s))
+    else:
+      full = mask_rows[i, j] == 0                   # see _fwd_kernel
+
+      @pl.when(full)
+      def _full():
+        update(s)
+
+      @pl.when(jnp.logical_not(full))
+      def _partial():
+        update(masked(s))
 
   @pl.when(j == ma - 1)
   def _finalize():
@@ -344,7 +368,7 @@ def _dq_kernel(kv_index, kv_count, mask_rows, q_ref, k_ref, v_ref, mask_ref,
 
 def _dkv_kernel(q_index, q_count, mask_rows_t, q_ref, k_ref, v_ref, mask_ref,
                 do_ref, lse_ref, delta_ref, dk_ref, dv_ref, dk_scr, dv_scr,
-                *, scale, mat):
+                *, scale, mat, has_full):
   s_idx = pl.program_id(2)
   j = pl.program_id(1)
 
@@ -376,16 +400,22 @@ def _dkv_kernel(q_index, q_count, mask_rows_t, q_ref, k_ref, v_ref, mask_ref,
           ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
           preferred_element_type=jnp.float32)         # [bkv, d]
 
-    full = mask_rows_t[j, s_idx] == 0                 # see _fwd_kernel
-
-    @pl.when(full)
-    def _full():
-      update(s)
-
-    @pl.when(jnp.logical_not(full))
-    def _partial():
+    def masked(s):
       mask = _unpack_mask(mask_ref[0], s.shape[0], s.shape[1])
-      update(jnp.where(mask, s, NEG_INF))
+      return jnp.where(mask, s, NEG_INF)
+
+    if not has_full:
+      update(masked(s))
+    else:
+      full = mask_rows_t[j, s_idx] == 0               # see _fwd_kernel
+
+      @pl.when(full)
+      def _full():
+        update(s)
+
+      @pl.when(jnp.logical_not(full))
+      def _partial():
+        update(masked(s))
 
   @pl.when(s_idx == mat - 1)
   def _finalize():
@@ -444,8 +474,9 @@ def _bwd(q, k, v, o, lse, do, block_map, block_q, block_kv, scale, interpret,
   if mask_blocks is None:
     mask_blocks = jnp.asarray(block_map["mask_blocks"])
 
+  has_full = bool(block_map.get("has_full", True))
   dq = pl.pallas_call(
-      functools.partial(_dq_kernel, scale=scale, ma=ma),
+      functools.partial(_dq_kernel, scale=scale, ma=ma, has_full=has_full),
       grid_spec=pltpu.PrefetchScalarGridSpec(
           num_scalar_prefetch=3,
           grid=(bh, nq, ma),
@@ -489,7 +520,8 @@ def _bwd(q, k, v, o, lse, do, block_map, block_q, block_kv, scale, interpret,
     mask_blocks_t = jnp.asarray(block_map["mask_blocks_t"])
 
   dk, dv = pl.pallas_call(
-      functools.partial(_dkv_kernel, scale=scale, mat=mat),
+      functools.partial(_dkv_kernel, scale=scale, mat=mat,
+                        has_full=has_full),
       grid_spec=pltpu.PrefetchScalarGridSpec(
           num_scalar_prefetch=3,
           grid=(bh, nkv, mat),
@@ -684,7 +716,7 @@ class SequenceParallelAttention:
     }
     bq, bkv = attn._block_q, attn._block_kv
     self._dims = _SpDims(nq_l, nkv, ma, mat_l, nq_l * bq, m["n_kv_pad"],
-                         bq, bkv)
+                         bq, bkv, has_full=m.get("has_full", True))
     self._mesh = mesh
     self._axis = axis
     self._map = m
@@ -846,14 +878,16 @@ def _round_up(x: int, m: int) -> int:
 class _SpDims:
   """Hashable static dims for the array-operand attention entry point."""
 
-  def __init__(self, nq, nkv, ma, mat, n_q_pad, n_kv_pad, block_q, block_kv):
+  def __init__(self, nq, nkv, ma, mat, n_q_pad, n_kv_pad, block_q, block_kv,
+               has_full=True):
     self.nq, self.nkv, self.ma, self.mat = nq, nkv, ma, mat
     self.n_q_pad, self.n_kv_pad = n_q_pad, n_kv_pad
     self.block_q, self.block_kv = block_q, block_kv
+    self.has_full = bool(has_full)
 
   def _key(self):
     return (self.nq, self.nkv, self.ma, self.mat, self.n_q_pad,
-            self.n_kv_pad, self.block_q, self.block_kv)
+            self.n_kv_pad, self.block_q, self.block_kv, self.has_full)
 
   def __hash__(self):
     return hash(self._key())
@@ -868,7 +902,8 @@ class _SpDims:
         n_q_pad=self.n_q_pad, n_kv_pad=self.n_kv_pad,
         kv_index=kv_index, kv_count=kv_count, mask_rows=mask_rows,
         mask_blocks=mask_blocks, q_index=q_index, q_count=q_count,
-        mask_rows_t=mask_rows_t, mask_blocks_t=mask_blocks)
+        mask_rows_t=mask_rows_t, mask_blocks_t=mask_blocks,
+        has_full=self.has_full)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(10, 11, 12))
