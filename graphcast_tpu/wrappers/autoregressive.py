@@ -105,20 +105,26 @@ class Autoregressive(WrapperPredictor):
     stacks.
 
     ``loss_carry_offload``: stage the inter-step carry windows in the TPU
-    host's pinned memory instead of HBM. The AR loss is python-unrolled
-    inside one outer ``jax.checkpoint`` whose policy
-    (``save_and_offload_only_these_names``) offloads the named carries to
-    ``pinned_host``; per-step inner checkpoints still bound the transient
-    during each step's backward recompute. Device HBM then holds no stacked
-    carry windows at all (each 2-frame 0.25° window is ~0.8 GB — the stacks
-    are what kept 4-step AR at 19.1 GB > 16 GB), at the price of one
-    d2h+h2d round trip per step, overlapped by XLA's async copies.
-    With ``loss_scan_block == 1`` the loss is fully python-unrolled (NB:
-    measured WORSE at 0.25°/4-step — XLA overlaps the unrolled steps'
-    backward transients); with ``loss_scan_block > 1`` it composes with the
-    block scan, offloading the intra-block carries while the scan keeps the
-    per-block backwards serialized — the form that fits 4-step AR on one
-    chip. Requires ``gradient_checkpointing``."""
+    host's pinned memory instead of HBM. Device HBM then holds no stacked
+    carry windows at all (each 2-frame 0.25° window is ~0.8 GB — the
+    stacks are what kept 4-step AR at 19.1 GB > 16 GB), at the price of
+    one d2h+h2d round trip per step, overlapped by XLA's async copies.
+    Three forms by ``loss_scan_block``:
+
+    - ``== 1`` (default): host-carry scan — the scan carry itself lives in
+      host memory (``jax.memory.Space.Host``), so the scan AD's stacked
+      carry residuals sit off-device AND the while-loop serializes the
+      per-step backwards that unrolled forms let XLA overlap. This is the
+      preferred form.
+    - ``> 1``, dividing num_steps: composes with the block scan — intra-
+      block carries are offloaded via ``checkpoint_name`` + the
+      ``save_and_offload_only_these_names`` policy (measured at
+      0.25°/4-step: 18.37 GB, the within-block backward overlap remains).
+    - ``>= num_steps``: fully python-unrolled inside one outer offloading
+      checkpoint (measured WORSE: 24.7 GB at 0.25°/4-step — XLA overlaps
+      all the unrolled steps' backward transients).
+
+    Requires ``gradient_checkpointing``."""
     super().__init__(predictor)
     if loss_scan_block < 1:
       raise ValueError(f"loss_scan_block must be >= 1, got {loss_scan_block}")
@@ -305,19 +311,49 @@ class Autoregressive(WrapperPredictor):
     unroll = max(1, min(self._loss_scan_unroll, num_steps))
     xs = (rngs, targets_xs, forcings_xs)
     if (self._loss_carry_offload and num_steps > 1
-        and (self._loss_scan_block == 1
-             or num_steps <= self._loss_scan_block)):
-      # NB the second arm: with loss_scan_block >= num_steps there is only
-      # one block, so the block scan below would never engage and the
-      # offload would silently be dropped (leaving the 19.1 GB HBM shape
-      # the knob exists to avoid, surfacing only as an OOM after a long
-      # remote compile). A single block of k unrolled offloaded steps is
-      # structurally the unrolled form, so route there.
+        and self._loss_scan_block == 1):
+      # Host-carry scan form (the loss_carry_offload default): the scan's
+      # inter-step carry windows live in pinned host memory — each body
+      # iteration fetches the window to device, runs the checkpointed step,
+      # and stores the next window back to host, so the scan AD's stacked
+      # carry residuals ([T, window] — the buffers that kept 4-step AR at
+      # 19.1 GB) sit on the HOST, and the while-loop (unroll=1) hard-
+      # serializes the per-step backwards that the unrolled/block forms let
+      # XLA overlap (measured at 0.25°/4-step: unrolled-offload 24.7 GB,
+      # block-2 offload 18.37 GB, block-2 + scan-unroll-1 20.55 GB — all
+      # over the 16 GB chip; the overlap of per-step encoder recomputes is
+      # the dominant term, see BENCH notes in docs/STATUS.md).
+      def host_body(window_host, xs_i):
+        window = jax.device_put(window_host, jax.memory.Space.Device)
+        next_window, y = step(window, xs_i)
+        return jax.device_put(next_window, jax.memory.Space.Host), y
+
+      inputs_host = jax.device_put(inputs, jax.memory.Space.Host)
+      _, (losses, diagnostics, pred_ys) = jax.lax.scan(
+          host_body, inputs_host, xs, unroll=1)
+      loss = jnp.mean(losses, axis=0)
+      diagnostics = {kk: jnp.mean(v, axis=0) for kk, v in diagnostics.items()}
+      if not want_predictions:
+        return (loss, diagnostics), None
+      fields = {}
+      for name in targets.var_names:
+        tf = targets[name]
+        t_axis = tf.dims.index("time")
+        fields[name] = Field(jnp.moveaxis(pred_ys[name], 0, t_axis), tf.dims)
+      return (loss, diagnostics), FieldSet(fields, coords=targets.coords)
+    if (self._loss_carry_offload and num_steps > 1
+        and num_steps <= self._loss_scan_block):
+      # With loss_scan_block >= num_steps there is only one block, so the
+      # block scan below would never engage and the offload would silently
+      # be dropped (leaving the 19.1 GB HBM shape the knob exists to avoid,
+      # surfacing only as an OOM after a long remote compile). A single
+      # block of k unrolled offloaded steps is structurally the unrolled
+      # form, so route there.
       # Fully-unrolled offload form. NB measured at 0.25°/4-step: the
       # unrolled backward OVERLAPS per-step encoder transients (24.7 GB —
-      # worse than the scan's 19.1); prefer loss_scan_block>1 + offload,
-      # which keeps the scan's serialized backward and offloads the
-      # intra-block carries instead.
+      # worse than the scan's 19.1); prefer loss_scan_block == 1 (the
+      # host-carry scan above), which keeps the backward serialized and the
+      # carries off-device.
       # Per-step STATIC time slices instead of the scan's moveaxis'd xs:
       # the [T-major] transposes of the full targets/forcings (~1.8 GB at
       # 0.25°/4-step) otherwise live as HLO temps across the whole unrolled

@@ -9,6 +9,8 @@ import os
 import time
 
 import numpy as np
+import sys
+sys.path.insert(0, __file__.rsplit('/', 2)[0])
 
 
 def main():
