@@ -284,8 +284,6 @@ class Autoregressive(WrapperPredictor):
     targets_template_1 = targets_nc.isel(time=slice(0, 1))
     forcings_template = forcings.isel(time=slice(0, 1))
 
-    targets_xs = _to_scan_xs(targets_nc)
-    forcings_xs = _to_scan_xs(forcings)
     rngs = jax.random.split(rng, num_steps)
 
     def step(window, xs):
@@ -309,7 +307,6 @@ class Autoregressive(WrapperPredictor):
       step = jax.checkpoint(step)
 
     unroll = max(1, min(self._loss_scan_unroll, num_steps))
-    xs = (rngs, targets_xs, forcings_xs)
     if (self._loss_carry_offload and num_steps > 1
         and self._loss_scan_block == 1):
       # Host-carry scan form (the loss_carry_offload default): the scan's
@@ -323,14 +320,26 @@ class Autoregressive(WrapperPredictor):
       # block-2 offload 18.37 GB, block-2 + scan-unroll-1 20.55 GB — all
       # over the 16 GB chip; the overlap of per-step encoder recomputes is
       # the dominant term, see BENCH notes in docs/STATUS.md).
+      # Scan over (rng, step-index) only and dynamic-slice the step's
+      # targets/forcings from the closure inside the body: the moveaxis'd
+      # [T-major] xs stacks otherwise materialize as whole-trajectory HLO
+      # temp copies (2×315 MB per target var at 0.25°/4-step — rig rule:
+      # reshaped scan xs cost layout copies; slice from the closure).
       def host_body(window_host, xs_i):
+        rng_i, i = xs_i
+        tgt = {n: jax.lax.dynamic_index_in_dim(
+            targets_nc[n].data, i, targets_nc[n].dims.index("time"),
+            keepdims=False) for n in targets_nc.var_names}
+        frc = {n: jax.lax.dynamic_index_in_dim(
+            forcings[n].data, i, forcings[n].dims.index("time"),
+            keepdims=False) for n in forcings.var_names}
         window = jax.device_put(window_host, jax.memory.Space.Device)
-        next_window, y = step(window, xs_i)
+        next_window, y = step(window, (rng_i, tgt, frc))
         return jax.device_put(next_window, jax.memory.Space.Host), y
 
       inputs_host = jax.device_put(inputs, jax.memory.Space.Host)
       _, (losses, diagnostics, pred_ys) = jax.lax.scan(
-          host_body, inputs_host, xs, unroll=1)
+          host_body, inputs_host, (rngs, jnp.arange(num_steps)), unroll=1)
       loss = jnp.mean(losses, axis=0)
       diagnostics = {kk: jnp.mean(v, axis=0) for kk, v in diagnostics.items()}
       if not want_predictions:
@@ -380,6 +389,7 @@ class Autoregressive(WrapperPredictor):
         t_axis = tf.dims.index("time")
         fields[name] = Field(jnp.moveaxis(pred_ys[name], 0, t_axis), tf.dims)
       return (loss, diagnostics), FieldSet(fields, coords=targets.coords)
+    xs = (rngs, _to_scan_xs(targets_nc), _to_scan_xs(forcings))
     k = self._loss_scan_block
     if k > 1 and num_steps > k and num_steps % k:
       # Fail at trace time (seconds) rather than silently falling back to
