@@ -183,6 +183,17 @@ class GenCast(Predictor):
                **kwargs):
     if self._sampler_config is None:
       raise ValueError("sampler config required for inference")
+    if targets_template.sizes.get("time", 1) != 1:
+      # The denoiser appends every noisy-target frame as extra feature
+      # channels, so a multi-step template silently changes the grid2mesh
+      # input width and fails deep inside the GNN. GenCast is a ONE-step
+      # (12h) predictor; roll it out chunk-by-chunk with
+      # rollout.chunked_prediction(num_steps_per_chunk=1) (reference
+      # semantics: gencast notebooks call the sampler once per step).
+      raise ValueError(
+          "GenCast predicts exactly one target step per call; got a "
+          f"targets_template with {targets_template.sizes['time']} time "
+          "steps. Use rollout.chunked_prediction(num_steps_per_chunk=1).")
 
     def denoiser_fn(inputs, noisy_targets, noise_levels, forcings):
       return self._preconditioned_denoiser(

@@ -106,9 +106,10 @@ def _decoder_kernel(*refs, compact, bn, edge_matmul, embed, ln_stats="vpu"):
   g = grid_ref[:]                                    # [bn, C] act dtype
   gproj = _mm(g, wr_ref[:])                          # f32
   if compact:
-    from graphcast_tpu.ops.splash import _unpack_mask
+    from graphcast_tpu.ops.splash import _unpack_mask_rows, mask_row_group
     comp = comp_ref[0]
     u = comp.shape[0]
+    bnw = bn // 32
 
   agg = jnp.zeros_like(gproj)
   for j in range(3):
@@ -127,8 +128,8 @@ def _decoder_kernel(*refs, compact, bn, edge_matmul, embed, ln_stats="vpu"):
     else:
       x0 = const_ref[j].astype(jnp.float32)
     if compact:
-      oh = _unpack_mask(maskc_ref[0][j * bn:(j + 1) * bn], bn,
-                        u).astype(comp.dtype)
+      oh = _unpack_mask_rows(maskc_ref[0][j * bnw:(j + 1) * bnw], bn,
+                             u, mask_row_group(bn)).astype(comp.dtype)
       x0 += _mm(oh, comp)
     else:
       x0 += gs_ref[j].astype(jnp.float32)
@@ -257,7 +258,7 @@ def _decoder_bwd_kernel(*refs, compact, split, edge_matmul, embed, ln_stats):
   one = jnp.asarray(1.0, dtype)
   gproj = _mm(g, wr_ref[:])                        # f32
   if compact:
-    from graphcast_tpu.ops.splash import _unpack_mask
+    from graphcast_tpu.ops.splash import _unpack_mask_rows, mask_row_group
     comp = comp_ref[0]
     u = comp.shape[0]
 
@@ -288,7 +289,8 @@ def _decoder_bwd_kernel(*refs, compact, split, edge_matmul, embed, ln_stats):
       emb = None
       x0 = const_ref[j].astype(jnp.float32)
     if compact:
-      oh = _unpack_mask(maskb_ref[0, j, 0], g.shape[0], u).astype(dtype)
+      oh = _unpack_mask_rows(maskb_ref[0, j, 0], g.shape[0], u,
+                             mask_row_group(g.shape[0] * split)).astype(dtype)
       x0 = x0 + _mm(oh, comp)
     else:
       oh = None
@@ -465,23 +467,40 @@ class FusedMesh2GridDecoder:
       uniq.append(np.unique(blk))
     u_max = max(u.shape[0] for u in uniq)
     u_pad = max(32, -(-u_max // 32) * 32)
+    from graphcast_tpu.ops.splash import _pack_mask_bits_rows, mask_row_group
+    # Row-packed masks need 32-multiple row blocks (forward: bn rows per
+    # edge slot; backward: bn/bwd_split rows sliced at group boundaries).
+    rp_ok = (bn % 32 == 0
+             and (bn // bwd_split) % mask_row_group(bn) == 0)
     if compact_gather is None:
       # Worth it only with real sender reuse inside blocks.
-      compact_gather = u_pad <= 3 * bn // 2
+      compact_gather = u_pad <= 3 * bn // 2 and rp_ok
+    elif compact_gather and not rp_ok:
+      raise ValueError(
+          "compact_gather needs block_nodes % 32 == 0 and bwd_split "
+          "sub-blocks aligned to the mask row group "
+          f"({mask_row_group(bn)} for block_nodes={bn}; see "
+          "splash.mask_row_group)")
     self.compact = bool(compact_gather)
     self.u_pad = u_pad
     if self.compact:
-      from graphcast_tpu.ops.splash import _pack_mask_bits
       cid = np.zeros((nb, u_pad), np.int32)
-      masks = np.zeros((nb, 3 * bn, u_pad // 32), np.uint32)
+      # Row-packed (words on sublanes, splash._pack_mask_bits_rows): the
+      # lane-packed [nb, 3bn, u//32] layout tile-pads its last dim to 128
+      # lanes — up to a 32× HBM expansion via an XLA layout copy. Packed
+      # per edge slot j so both the forward (bn rows) and the split
+      # backward (bn/split rows) slice at group boundaries.
+      masks = np.zeros((nb, 3 * (bn // 32), u_pad), np.uint32)
       for i in range(nb):
         u = uniq[i]
         cid[i, :u.shape[0]] = u
         # Edge rows slot-major: row j*bn + v = edge-slot j of local node v.
         rows = self.senders_slot[:, i * bn:(i + 1) * bn].reshape(-1)
         local = np.searchsorted(u, rows)
-        onehot = local[:, None] == np.arange(u_pad)[None, :]
-        masks[i] = _pack_mask_bits(onehot)
+        onehot = (local[:, None] == np.arange(u_pad)[None, :]).reshape(
+            3, bn, u_pad)
+        masks[i] = _pack_mask_bits_rows(
+            onehot, mask_row_group(bn)).reshape(3 * (bn // 32), u_pad)
       self.compact_ids = cid
       self.compact_masks = masks
 
@@ -560,7 +579,7 @@ class FusedMesh2GridDecoder:
         maskc = jnp.asarray(self.compact_masks)
       comp = mesh_proj[ids].reshape(nb, u, C).astype(dtype)
       gather_specs = [
-          pl.BlockSpec((1, 3 * bn, u // 32), lambda i: (i, 0, 0)),  # maskc
+          pl.BlockSpec((1, 3 * (bn // 32), u), lambda i: (i, 0, 0)),  # maskc
           pl.BlockSpec((1, u, C), lambda i: (i, 0, 0)),             # comp
       ]
       gather_args = [maskc, comp]
@@ -699,10 +718,10 @@ class FusedMesh2GridDecoder:
       # Rows of a forward block are slot-major (j*bn + v): reshaping to
       # [nb, 3, split, bs, u//32] makes sub-block s of slot j a contiguous
       # block for the split backward grid.
-      maskb = maskc.reshape(nb, 3, split, bs, u // 32)
+      maskb = maskc.reshape(nb, 3, split, bs // 32, u)
       comp = mesh_proj[ids].reshape(nb, u, C).astype(dtype)
       in_specs += [
-          pl.BlockSpec((1, 3, 1, bs, u // 32),
+          pl.BlockSpec((1, 3, 1, bs // 32, u),
                        lambda i: (i // split, 0, i % split, 0, 0)),
           pl.BlockSpec((1, u, C), lambda i: (i // split, 0, 0)),
       ]

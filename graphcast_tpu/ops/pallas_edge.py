@@ -42,7 +42,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from graphcast_tpu.ops.pallas_mp import BlockedSegmentSum
-from graphcast_tpu.ops.splash import _unpack_mask
+from graphcast_tpu.ops.splash import _unpack_mask_rows, mask_row_group
 
 LN_EPS = 1e-5
 
@@ -114,7 +114,7 @@ def _ln_bwd(dyh, yh, rstd, mode):
 
 
 def _fused_edge_kernel(block_of, first_of, *refs, cs, bn, has_we,
-                       write_eout, embed, ln_stats):
+                       write_eout, embed, ln_stats, cs_full):
   c = pl.program_id(0)
   it = iter(refs)
   e_ref = next(it)
@@ -165,7 +165,8 @@ def _fused_edge_kernel(block_of, first_of, *refs, cs, bn, has_we,
     x0 = e.astype(jnp.float32)
   x0 += gs_ref[:].astype(jnp.float32)
   # Receiver-projection broadcast: one-hot(recv)ᵀ @ Gr_block on the MXU.
-  onehot_t = _unpack_mask(maskt_ref[0], cs, bn).astype(gr_ref.dtype)
+  onehot_t = _unpack_mask_rows(
+      maskt_ref[0], cs, bn, mask_row_group(cs_full)).astype(gr_ref.dtype)
   x0 += jax.lax.dot_general(
       onehot_t, gr_ref[:], (((1,), (0,)), ((), ())),
       preferred_element_type=jnp.float32)
@@ -198,7 +199,7 @@ def _fused_edge_kernel(block_of, first_of, *refs, cs, bn, has_we,
 
 
 def _fused_edge_bwd_kernel(block_of, first_of, *refs, cs, bn, has_we,
-                           write_eout, embed, ln_stats):
+                           write_eout, embed, ln_stats, cs_full):
   """Backward of _fused_edge_kernel: recompute the chunk's forward pipeline
   from its inputs, then emit all input/param grads in the same single HBM
   pass. Weight grads accumulate in constant-index f32 output blocks (the TPU
@@ -265,7 +266,8 @@ def _fused_edge_bwd_kernel(block_of, first_of, *refs, cs, bn, has_we,
   dtype = gs_ref.dtype
   one = jnp.asarray(1.0, dtype)
   ef = e_ref[:]                                  # [cs, C] (or [cs, F] embed)
-  onehot_t = _unpack_mask(maskt_ref[0], ef.shape[0], bn)
+  onehot_t = _unpack_mask_rows(
+      maskt_ref[0], ef.shape[0], bn, mask_row_group(cs_full))
   oh_d = onehot_t.astype(dtype)
 
   # --- forward recompute (mirrors _fused_edge_kernel) ---
@@ -418,9 +420,11 @@ class FusedEdgeStep:
     cs = summer.chunk_edges
     if cs % 32 or bn % 32:
       raise ValueError("block sizes must be multiples of 32 for bitpacking")
-    if cs % bwd_split or (cs // bwd_split) % 32:
-      raise ValueError("bwd_split must divide chunk_edges into multiples "
-                       "of 32")
+    if cs % bwd_split or (cs // bwd_split) % mask_row_group(cs):
+      raise ValueError(
+          "bwd_split must divide chunk_edges into multiples of the mask "
+          f"row group ({mask_row_group(cs)} for chunk_edges={cs}; see "
+          "splash.mask_row_group)")
     tc = summer.total_chunks
     nb = summer.num_node_blocks
     if (summer.num_chunks == 0).any():
@@ -528,13 +532,13 @@ class FusedEdgeStep:
 
     ln_stats = _ln_stats_for(self.ln_stats, C)
     kernel = functools.partial(
-        _fused_edge_kernel, cs=cs, bn=bn,
+        _fused_edge_kernel, cs=cs, bn=bn, cs_full=cs,
         has_we=self.include_edge_matmul, write_eout=self.write_edges,
         embed=embed_weights is not None, ln_stats=ln_stats)
     in_specs = [
         pl.BlockSpec((cs, F), lambda c, bo, fo: (c, 0)),       # e / ef
         pl.BlockSpec((cs, C), lambda c, bo, fo: (c, 0)),       # gs
-        pl.BlockSpec((1, cs, bn // 32),
+        pl.BlockSpec((1, cs // 32, bn),
                      lambda c, bo, fo: (c, 0, 0)),             # maskt
         pl.BlockSpec((bn, C), lambda c, bo, fo: (bo[c], 0)),   # gr
     ]
@@ -612,19 +616,19 @@ class FusedEdgeStep:
     tcb = tc * split
 
     mask_t = masks[1] if masks is not None else jnp.asarray(self.mask_t)
-    maskt_b = mask_t.reshape(tcb, csb, bn // 32)
+    maskt_b = mask_t.reshape(tcb, csb // 32, bn)
     d_agg_pad = jnp.pad(
         d_agg.astype(jnp.float32), ((0, nb * bn - d_agg.shape[0]), (0, 0)))
 
     ln_stats = _ln_stats_for(self.ln_stats, C)
     kernel = functools.partial(
-        _fused_edge_bwd_kernel, cs=csb, bn=bn,
+        _fused_edge_bwd_kernel, cs=csb, bn=bn, cs_full=cs,
         has_we=self.include_edge_matmul, write_eout=self.write_edges,
         embed=embed, ln_stats=ln_stats)
     in_specs = [
         pl.BlockSpec((csb, F), lambda c, bo, fo: (c, 0)),      # e / ef
         pl.BlockSpec((csb, C), lambda c, bo, fo: (c, 0)),      # gs
-        pl.BlockSpec((1, csb, bn // 32),
+        pl.BlockSpec((1, csb // 32, bn),
                      lambda c, bo, fo: (c, 0, 0)),             # maskt
         pl.BlockSpec((bn, C), lambda c, bo, fo: (bo[c], 0)),   # gr
     ]

@@ -63,10 +63,10 @@ def _agg_kernel(chunk_base, num_chunks, mask_ref,
 
 
 def _unpack_receiver_mask(packed, rows, cols):
-  """[rows, cols//32] uint32 → [rows, cols] bool (strided packing matching
-  ops.splash._pack_mask_bits / _unpack_mask)."""
-  from graphcast_tpu.ops.splash import _unpack_mask
-  return _unpack_mask(packed, rows, cols)
+  """[rows//32, cols] uint32 → [rows, cols] bool (row-packed, strided over
+  the whole block: ops.splash._pack_mask_bits_rows / _unpack_mask_rows)."""
+  from graphcast_tpu.ops.splash import _unpack_mask_rows
+  return _unpack_mask_rows(packed, rows, cols, rows)
 
 
 class BlockedSegmentSum:
@@ -168,14 +168,18 @@ class BlockedSegmentSum:
   def onehot_masks(self):
     """Cached bitpacked per-chunk one-hot membership masks.
 
-    Returns (mask [tc, bn, cs//32], mask_t [tc, cs, bn//32]) uint32, where
-    mask[c, v, e] says edge-slot e of chunk c points at local node v of the
-    chunk's node block. Mosaic-friendly (2-D uint32 tiles) replacement for
-    raw int32 receiver blocks.
+    Returns (mask [tc, bn//32, cs], mask_t [tc, cs//32, bn]) uint32, where
+    the unpacked mask[c][v, e] says edge-slot e of chunk c points at local
+    node v of the chunk's node block. Bits are packed along the ROW axis
+    (splash._pack_mask_bits_rows) so the tiled device layout is compact —
+    the old lane-packed [tc, cs, bn//32] layout cost a 16×-padded XLA
+    layout copy (161 MB at 0.25°/mesh-6). mask rows pack strided over the
+    whole bn block; mask_t rows pack per splash.mask_row_group(cs) group so
+    the fused-edge backward may slice sub-chunks.
     """
     if getattr(self, "_onehot_masks", None) is not None:
       return self._onehot_masks
-    from graphcast_tpu.ops.splash import _pack_mask_bits
+    from graphcast_tpu.ops.splash import _pack_mask_bits_rows, mask_row_group
     bn, cs, tc = self.block_nodes, self.chunk_edges, self.total_chunks
     if bn % 32 or cs % 32:
       raise ValueError("block_nodes/chunk_edges must be multiples of 32")
@@ -185,11 +189,10 @@ class BlockedSegmentSum:
     local = rloc - node_base[:, None]
     ids = np.arange(bn, dtype=np.int64)
     onehot = local[:, None, :] == ids[None, :, None]       # [tc, bn, cs]
-    mask = _pack_mask_bits(onehot.reshape(tc * bn, cs)).reshape(
-        tc, bn, cs // 32)
-    onehot_t = onehot.transpose(0, 2, 1)
-    mask_t = _pack_mask_bits(onehot_t.reshape(tc * cs, bn)).reshape(
-        tc, cs, bn // 32)
+    mask = _pack_mask_bits_rows(onehot, bn)                # [tc, bn//32, cs]
+    onehot_t = np.ascontiguousarray(onehot.transpose(0, 2, 1))
+    mask_t = _pack_mask_bits_rows(                         # [tc, cs//32, bn]
+        onehot_t, mask_row_group(cs))
     self._onehot_masks = (mask, mask_t)
     return self._onehot_masks
 
@@ -243,7 +246,7 @@ class BlockedSegmentSum:
             in_specs=[
                 # Clamp so inactive trailing chunks (j ≥ num_chunks[i]) stay
                 # in bounds; their compute is skipped by pl.when.
-                pl.BlockSpec((1, self.block_nodes, self.chunk_edges // 32),
+                pl.BlockSpec((1, self.block_nodes // 32, self.chunk_edges),
                              lambda i, j, cb, nc: (
                                  jnp.minimum(cb[i] + j, total_chunks - 1),
                                  0, 0)),

@@ -47,17 +47,55 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
-def _unpack_mask(packed, block_q, block_kv):
-  """[bq, bkv//32] uint32 → [bq, bkv] bool, in-kernel.
+def mask_row_group(rows: int) -> int:
+  """Row-group granularity for sublane-packed masks over ``rows`` rows.
 
-  pltpu.repeat *tiles* (lane j gets word j %% nw); packing is strided to
-  match (column j at word j %% nw, bit j // nw).
+  The packing is strided per group, so a consumer may slice the packed
+  words only at multiples of the group. The group is chosen as the largest
+  value ≤256 that still lets the fused-edge backward split a chunk in two
+  (bwd_split=2 ⇒ sub-chunks of rows//2): min(256, rows//2) when rows//2 is
+  a 32-multiple, else the whole block (split-1 consumers only)."""
+  if rows % 64 == 0:
+    return min(256, rows // 2)
+  return rows
+
+
+def _pack_mask_bits_rows(mask: np.ndarray, group_rows: int) -> np.ndarray:
+  """[..., R, C] bool → [..., R//32, C] uint32, packed along ROWS.
+
+  Words live on the sublane axis so the tiled (8, 128) device layout is
+  compact: the lane-packed [R, C//32] layout pads its last dim to 128
+  lanes — a 16× HBM expansion (and an XLA layout copy) for C=256 masks.
+
+  Rows are packed strided per group of ``group_rows`` rows (row r of a
+  group → word r %% gw at bit r // gw, gw = group_rows//32), matching the
+  in-kernel tiled ``pltpu.repeat`` along sublanes. A consumer may slice
+  the packed rows at any multiple of ``group_rows`` rows.
   """
-  nw = block_kv // 32
-  words = pltpu.repeat(packed, 32, axis=1)              # [bq, bkv] tiled
-  shifts = (jax.lax.broadcasted_iota(
-      jnp.uint32, (block_q, block_kv), 1) // nw)
-  return ((words >> shifts) & 1) > 0
+  *lead, R, C = mask.shape
+  g = group_rows
+  assert g % 32 == 0 and R % g == 0, (R, g)
+  gw = g // 32
+  # row r (in group) = b * gw + w  ⇒  word w, bit b.
+  m = mask.reshape(*lead, R // g, 32, gw, C).astype(np.uint32)
+  weights = (np.uint32(1) << np.arange(32, dtype=np.uint32)).reshape(
+      (1,) * len(lead) + (1, 32, 1, 1))
+  packed = (m * weights).sum(axis=-3).astype(np.uint32)  # [..., R//g, gw, C]
+  return packed.reshape(*lead, R // 32, C)
+
+
+def _unpack_mask_rows(packed, rows, cols, group_rows):
+  """In-kernel inverse of :func:`_pack_mask_bits_rows`:
+  [rows//32, cols] uint32 → [rows, cols] bool."""
+  g = group_rows
+  gw = g // 32
+  ngroups = rows // g
+  parts = []
+  for k in range(ngroups):
+    words = pltpu.repeat(packed[k * gw:(k + 1) * gw], 32, axis=0)  # [g, cols]
+    shifts = jax.lax.broadcasted_iota(jnp.uint32, (g, cols), 0) // gw
+    parts.append(((words >> shifts) & 1) > 0)
+  return parts[0] if ngroups == 1 else jnp.concatenate(parts, axis=0)
 
 
 def _build_block_map(mask: sp.csr_matrix, block_q: int, block_kv: int):
@@ -68,7 +106,7 @@ def _build_block_map(mask: sp.csr_matrix, block_q: int, block_kv: int):
     kv_count:  [nq]      number of active slots
     mask_rows: [nq, ma]  bitmap-table row per slot; 0 = fully-unmasked
       block (or padded slot) — the kernels skip masking for it entirely
-    mask_blocks: [1 + n_partial, block_q, block_kv//32] packed bitmaps,
+    mask_blocks: [1 + n_partial, block_q//32, block_kv] ROW-packed bitmaps,
       COMPACT: only partially-masked blocks get a row; row 0 is a reserved
       all-ones dummy (never consumed — the full branch skips the unpack)
     plus transposed maps (q_index, q_count, mask_rows_t) for dkv;
@@ -81,6 +119,8 @@ def _build_block_map(mask: sp.csr_matrix, block_q: int, block_kv: int):
   n_kv_pad = nkv * block_kv
   nw = block_kv // 32
   assert block_kv % 32 == 0, block_kv
+  assert block_q % 32 == 0, block_q
+  gw = block_q // 32
 
   # Sparse-native build: never densify the mask (the dense [n, n] bool is
   # ~1.7 GB at mesh-6 and O(N²) beyond — mesh-7 would need 27 GB host RAM).
@@ -111,17 +151,19 @@ def _build_block_map(mask: sp.csr_matrix, block_q: int, block_kv: int):
   row_of[np.nonzero(~full)[0]] = np.arange(1, n_partial + 1, dtype=np.int32)
 
   # Packed bitmaps for the partial blocks only, shared by both map
-  # orientations. Packing matches _pack_mask_bits: column j → word j % nw,
-  # bit j // nw.
-  mask_blocks = np.zeros((1 + n_partial, block_q, nw), dtype=np.uint32)
+  # orientations. ROW-packed (words on sublanes, strided over the whole
+  # q-block: row r → word r % gw, bit r // gw — _pack_mask_bits_rows):
+  # the lane-packed [.., bq, bkv//32] layout tile-pads its last dim to
+  # 128 lanes, an 8-16× HBM expansion via an XLA layout copy.
+  mask_blocks = np.zeros((1 + n_partial, gw, block_kv), dtype=np.uint32)
   mask_blocks[0] = np.uint32(0xFFFFFFFF)   # dummy "full" row
   inv = np.searchsorted(uniq, bid)
   dest = row_of[inv]
   sel = dest > 0                           # coords in full blocks need no bits
   lr = rows[sel] % block_q
   lc = cols[sel] % block_kv
-  np.bitwise_or.at(mask_blocks, (dest[sel], lr, lc % nw),
-                   np.uint32(1) << (lc // nw).astype(np.uint32))
+  np.bitwise_or.at(mask_blocks, (dest[sel], lr % gw, lc),
+                   np.uint32(1) << (lr // gw).astype(np.uint32))
 
   kv_count = np.bincount(qb_u, minlength=nq).astype(np.int32)
   ma = max(int(kv_count.max(initial=0)), 1)
@@ -156,23 +198,6 @@ def _build_block_map(mask: sp.csr_matrix, block_q: int, block_kv: int):
       # real only for masks with genuinely dense interiors.
       has_full=bool(n_active > n_partial),
   )
-
-
-def _pack_mask_bits(mask: np.ndarray) -> np.ndarray:
-  """[..., bkv] bool → [..., bkv//32] uint32 (bit j of word w = col w*32+j).
-
-  8× smaller HLO constants: at mesh-6/k-hop-16 the dense bool block maps are
-  ~420 MB each and their MLIR text breaks the compile service.
-  """
-  *lead, bkv = mask.shape
-  assert bkv % 32 == 0, bkv
-  nw = bkv // 32
-  # Strided packing: column j lives in word j % nw at bit j // nw, matching
-  # the kernel's pltpu.repeat tiling (word j % nw lands on lane j).
-  bits = mask.reshape(*lead, 32, nw).astype(np.uint32)
-  weights = (np.uint32(1) << np.arange(32, dtype=np.uint32)).reshape(
-      (1,) * len(lead) + (32, 1))
-  return (bits * weights).sum(axis=-2).astype(np.uint32)
 
 
 # ---------------------------------------------------------------------------
@@ -214,7 +239,8 @@ def _fwd_kernel(kv_index, kv_count, mask_rows, q_ref, k_ref, v_ref, mask_ref,
       l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
 
     def masked(s):
-      mask = _unpack_mask(mask_ref[0], s.shape[0], s.shape[1])
+      mask = _unpack_mask_rows(mask_ref[0], s.shape[0], s.shape[1],
+                               s.shape[0])
       return jnp.where(mask, s, NEG_INF)
 
     if not has_full:
@@ -283,7 +309,7 @@ def _fwd(q, k, v, block_map, block_q, block_kv, scale, interpret,
                        lambda b, i, j, kvi, kvc, mrw: (b, kvi[i, j], 0)),
           pl.BlockSpec((1, block_kv, d),
                        lambda b, i, j, kvi, kvc, mrw: (b, kvi[i, j], 0)),
-          pl.BlockSpec((1, block_q, block_kv // 32),
+          pl.BlockSpec((1, block_q // 32, block_kv),
                        lambda b, i, j, kvi, kvc, mrw: (mrw[i, j], 0, 0)),
       ],
       out_specs=[
@@ -345,7 +371,8 @@ def _dq_kernel(kv_index, kv_count, mask_rows, q_ref, k_ref, v_ref, mask_ref,
           preferred_element_type=jnp.float32)
 
     def masked(s):
-      mask = _unpack_mask(mask_ref[0], s.shape[0], s.shape[1])
+      mask = _unpack_mask_rows(mask_ref[0], s.shape[0], s.shape[1],
+                               s.shape[0])
       return jnp.where(mask, s, NEG_INF)
 
     if not has_full:
@@ -401,7 +428,8 @@ def _dkv_kernel(q_index, q_count, mask_rows_t, q_ref, k_ref, v_ref, mask_ref,
           preferred_element_type=jnp.float32)         # [bkv, d]
 
     def masked(s):
-      mask = _unpack_mask(mask_ref[0], s.shape[0], s.shape[1])
+      mask = _unpack_mask_rows(mask_ref[0], s.shape[0], s.shape[1],
+                               s.shape[0])
       return jnp.where(mask, s, NEG_INF)
 
     if not has_full:
@@ -487,7 +515,7 @@ def _bwd(q, k, v, o, lse, do, block_map, block_q, block_kv, scale, interpret,
                            lambda b, i, j, kvi, kvc, mrw: (b, kvi[i, j], 0)),
               pl.BlockSpec((1, block_kv, d),
                            lambda b, i, j, kvi, kvc, mrw: (b, kvi[i, j], 0)),
-              pl.BlockSpec((1, block_q, block_kv // 32),
+              pl.BlockSpec((1, block_q // 32, block_kv),
                            lambda b, i, j, kvi, kvc, mrw: (mrw[i, j], 0, 0)),
               pl.BlockSpec((1, block_q, d),
                            lambda b, i, j, kvi, kvc, mrw: (b, i, 0)),
@@ -532,7 +560,7 @@ def _bwd(q, k, v, o, lse, do, block_map, block_q, block_kv, scale, interpret,
                            lambda b, j, s, qi, qc, mrwt: (b, j, 0)),
               pl.BlockSpec((1, block_kv, d),
                            lambda b, j, s, qi, qc, mrwt: (b, j, 0)),
-              pl.BlockSpec((1, block_q, block_kv // 32),
+              pl.BlockSpec((1, block_q // 32, block_kv),
                            lambda b, j, s, qi, qc, mrwt: (mrwt[j, s], 0, 0)),
               pl.BlockSpec((1, block_q, d),
                            lambda b, j, s, qi, qc, mrwt: (b, qi[j, s], 0)),

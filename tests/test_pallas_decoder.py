@@ -72,7 +72,9 @@ def test_compact_gather_matches_direct():
   """compact_gather=True (per-block unique-sender tables + in-kernel one-hot
   expansion) must produce the same result as the direct-gather kernel."""
   rs = np.random.RandomState(3)
-  G, M, C, bn = 24, 12, 128, 8
+  # Row-packed compact masks need block_nodes % 32 == 0 (and bwd_split
+  # sub-blocks on mask-row-group boundaries): 64-node blocks, 3 blocks.
+  G, M, C, bn = 160, 24, 128, 64
   # Senders with heavy reuse inside blocks (like real triangle containment).
   senders = np.repeat(rs.randint(0, M, size=G), 3).astype(np.int32)
   grid = jnp.asarray(rs.randn(G, C), jnp.float32)
@@ -207,7 +209,7 @@ def test_fused_backward_embed_mode(compact):
   """Fused backward through the in-kernel embed MLP + edge matmul chain
   (the denoiser's configuration), direct and compact gather paths."""
   rs = np.random.RandomState(7)
-  G, M, C, F, bn = 24, 10, 128, 8, 8
+  G, M, C, F, bn = 160, 24, 128, 8, 64
   senders = np.repeat(rs.randint(0, M, size=G), 3).astype(np.int32)
   dec = FusedMesh2GridDecoder(senders, G, 5, block_nodes=bn,
                               interpret=True, compact_gather=compact)
@@ -263,7 +265,7 @@ def test_fused_backward_compact_plain_mode():
   """Compact-gather backward (dcomp accumulation + scatter-add) without the
   embed/edge-matmul chain."""
   rs = np.random.RandomState(11)
-  G, M, C, bn = 24, 10, 128, 8
+  G, M, C, bn = 160, 24, 128, 64
   senders = np.repeat(rs.randint(0, M, size=G), 3).astype(np.int32)
   dec = FusedMesh2GridDecoder(senders, G, 5, block_nodes=bn,
                               interpret=True, compact_gather=True,

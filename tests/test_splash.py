@@ -160,7 +160,7 @@ def test_block_map_matches_dense_construction():
       assert row > 0, (i, j)
       np.testing.assert_array_equal(
           got["mask_blocks"][row],
-          splash._pack_mask_bits(blocks[i, j][None])[0])
+          splash._pack_mask_bits_rows(blocks[i, j], bq))
 
   kv_lists = [np.nonzero(active[i])[0] for i in range(nq)]
   ma = max(len(l) for l in kv_lists)
@@ -185,7 +185,7 @@ def test_block_map_matches_dense_construction():
 
   # Compactness: exactly one table row per partial block, plus the dummy.
   n_partial = int((active & ~full).sum())
-  assert got["mask_blocks"].shape == (1 + n_partial, bq, bkv // 32)
+  assert got["mask_blocks"].shape == (1 + n_partial, bq // 32, bkv)
   assert (got["mask_blocks"][0] == np.uint32(0xFFFFFFFF)).all()
 
 

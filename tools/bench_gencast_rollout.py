@@ -13,7 +13,7 @@ device→host is ~10 MB/s through the tunnel and would swamp compute);
 timing forces a scalar readback; rng varies per run.
 
 Env knobs: ROLLOUT_MEMBERS (default 2), ROLLOUT_STEPS (30),
-ROLLOUT_CHUNK (5).
+ROLLOUT_CHUNK (1; GenCast predicts one 12h step per call).
 """
 
 import json
@@ -29,7 +29,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main():
   members = int(os.environ.get("ROLLOUT_MEMBERS", "2"))
   num_steps = int(os.environ.get("ROLLOUT_STEPS", "30"))
-  chunk = int(os.environ.get("ROLLOUT_CHUNK", "5"))
+  chunk = int(os.environ.get("ROLLOUT_CHUNK", "1"))
   import jax
   import jax.numpy as jnp
   cache = os.path.join(os.path.expanduser("~"), ".cache", "graphcast_tpu",

@@ -1,5 +1,6 @@
-"""One 0.25°/37-level GraphCast training step (loss + grads + AdamW) on a
-single 16 GB chip.
+"""One GraphCast training step (loss + grads + AdamW) on a single 16 GB
+chip. Defaults to 0.25°/37-level/mesh-6; TRAIN_RESOLUTION=1.0 switches to
+the 1.0°/13-level/mesh-5 config (writes BENCH_TRAIN_1p0_ar{N}.json).
 
 1-step AR loss (the curriculum's first stage), bf16 activations via the
 Bfloat16Cast wrapper, f32 master params, AdamW. The reference defers
@@ -33,10 +34,15 @@ def main():
   from graphcast_tpu.wrappers import (
       Autoregressive, Bfloat16Cast, InputsAndResiduals)
 
-  task = configs.TASK
+  resolution = float(os.environ.get("TRAIN_RESOLUTION", "0.25"))
+  mesh_size = int(os.environ.get(
+      "TRAIN_MESH_SIZE", "6" if resolution <= 0.5 else "5"))
+  task = configs.TASK if resolution <= 0.5 else configs.TASK_13
+  levs = len(task.pressure_levels)
   model = configs.ModelConfig(
-      resolution=0.25, mesh_size=6, latent_size=512, gnn_msg_steps=16,
-      hidden_layers=1, radius_query_fraction_edge_length=0.6)
+      resolution=resolution, mesh_size=mesh_size, latent_size=512,
+      gnn_msg_steps=16, hidden_layers=1,
+      radius_query_fraction_edge_length=0.6)
   stddev, mean, diffs = synthetic.make_norm_stats(task)
   # TRAIN_FUSED=processor (default) runs the 16 mesh-processor steps through
   # the fused Pallas forward+backward kernels while keeping the chunked
@@ -66,7 +72,7 @@ def main():
       loss_carry_offload=bool(int(os.environ.get("AR_OFFLOAD", "0"))))
 
   inputs, targets, forcings = synthetic.make_example_batch(
-      task, resolution=0.25, batch=1, num_target_times=ar_steps)
+      task, resolution=resolution, batch=1, num_target_times=ar_steps)
   rng = jax.random.PRNGKey(0)
   optimizer = train.graphcast_optimizer(peak_lr=1e-3)
   state = train.init_train_state(predictor, optimizer, rng, inputs, targets,
@@ -90,23 +96,26 @@ def main():
     state, loss, _ = step_fn(state, r, inputs, targets, forcings)
     float(loss)  # forced readback
     times.append(time.perf_counter() - t0)
-  print(f"train_step_0.25deg_ar{ar_steps}: {min(times):.3f} s "
+  print(f"train_step_{resolution}deg_ar{ar_steps}: {min(times):.3f} s "
         f"(compile+first {compile_s:.1f}s, loss0={loss0:.4f}, "
         f"all {[round(t, 3) for t in times]})")
   # Judge-visible artifact. No vs_baseline: the reference ships no training
   # path at all (README.md:161 defers to external JAXline).
   import json
   repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-  artifact = os.path.join(repo, f"BENCH_TRAIN_025_ar{ar_steps}.json")
+  tag = "025" if resolution <= 0.5 else str(resolution).replace(".", "p")
+  artifact = os.path.join(repo, f"BENCH_TRAIN_{tag}_ar{ar_steps}.json")
   with open(artifact, "w") as f:
     json.dump({
-        "metric": f"graphcast_train_step_0.25deg_37lev_ar{ar_steps}",
+        "metric": (f"graphcast_train_step_{resolution}deg_{levs}lev"
+                   f"_ar{ar_steps}"),
         "value": round(min(times), 3), "unit": "s",
         "compile_s": round(compile_s, 1),
         "fused": str(fused),
         "carry_offload": bool(int(os.environ.get("AR_OFFLOAD", "0"))),
         "note": ("loss+grads+AdamW on ONE 16 GB v5e; reference ships no "
                  "training path (external JAXline); reproduce with "
+                 f"TRAIN_RESOLUTION={resolution} "
                  f"python tools/bench_train_025.py {ar_steps}")}, f)
   print(f"# wrote {artifact}")
 

@@ -1,11 +1,17 @@
 """Micro-benchmark: mesh-processor step pieces at 0.25°/mesh-6.
 
-The process stage is 119 ms (16 MP steps). Splits one step into
+The process stage is ~91 ms per rollout step (16 MP steps ⇒ ~5.7 ms each).
+Splits one step into
 (a) the sender-projection gather gs = (x @ ws)[senders],
 (b) the fused edge-step kernel on pre-gathered inputs,
-(c) the node-side MLP.
-Rig rules: readback-forced timing, varied inputs, jit args, nothing else
-running on the host.
+(c) the node-side MLP,
+and runs each piece 16× INSIDE one jit via lax.fori_loop with sequential
+data dependence (like the real processor) so the ~28 ms per-dispatch
+tunnel overhead amortizes to <2 ms/iter — single-call timings through the
+axon tunnel are dispatch-dominated and useless for ranking (rig rule 7).
+
+Rig rules: readback-forced timing, varied inputs, masks as jit args,
+nothing else running on the host.
 """
 
 import os
@@ -14,6 +20,8 @@ import time
 import numpy as np
 import sys
 sys.path.insert(0, __file__.rsplit('/', 2)[0])
+
+ITERS = 16
 
 
 def main():
@@ -39,7 +47,7 @@ def main():
   step = FusedEdgeStep(summer)
   L = summer.layout_length
   print(f"# M={M} L={L} chunks={summer.total_chunks} "
-        f"expansion={summer.expansion:.3f}")
+        f"expansion={summer.expansion:.3f} iters={ITERS}")
 
   rs = np.random.RandomState(0)
   bf = jnp.bfloat16
@@ -59,29 +67,39 @@ def main():
   b = jnp.zeros(C)
   one = jnp.ones(C)
   senders_pad = jax.device_put(summer.pad_edges(art.mesh.senders))
+  nbn = summer.num_node_blocks * summer.block_nodes
 
   def seeded(i, v):
     return v + bf(1e-6) * bf(i)
 
   @jax.jit
-  def gather_only(x, ws, i):
-    gs = (seeded(i, x) @ ws.astype(bf))[senders_pad]
-    return jnp.mean(gs.astype(jnp.float32))
+  def gather_loop(x, ws, i):
+    def body(_, x):
+      gs = (x @ ws.astype(bf))[senders_pad]
+      # Sequential dependence: the next step's table depends on this gather.
+      return x + bf(1e-7) * gs[:x.shape[0]]
+    x = jax.lax.fori_loop(0, ITERS, body, seeded(i, x))
+    return jnp.mean(x.astype(jnp.float32))
 
   @jax.jit
-  def kernel_only(e, gs, gr, we, w1, mk, i):
-    eout, agg = step(seeded(i, e), gs, gr, we, b, w1, b, one, b, masks=mk)
-    return (jnp.mean(agg) + jnp.mean(eout.astype(jnp.float32)))
+  def kernel_loop(e, gr, we, w1, mk, i):
+    def body(_, carry):
+      e, gr = carry
+      eout, agg = step(e, gs0, gr, we, b, w1, b, one, b, masks=mk)
+      return eout, (gr + bf(1e-7) * jnp.pad(
+          agg.astype(bf), ((0, nbn - agg.shape[0]), (0, 0))))
+    e, gr = jax.lax.fori_loop(0, ITERS, body, (seeded(i, e), gr))
+    return jnp.mean(gr.astype(jnp.float32))
 
   @jax.jit
-  def node_side(x, agg, wn0, wn1, i):
-    inp = jnp.concatenate([seeded(i, x), agg], axis=-1)
-    h = inp @ wn0.astype(bf)
-    h = jax.nn.swish(h.astype(jnp.float32)).astype(bf) @ wn1.astype(bf)
-    return jnp.mean((x + h).astype(jnp.float32))
-
-  agg_dummy = jax.device_put(
-      rs.randn(M, C).astype(np.float32)).astype(bf)
+  def node_loop(x, wn0, wn1, i):
+    def body(_, x):
+      inp = jnp.concatenate([x, x], axis=-1)
+      h = inp @ wn0.astype(bf)
+      h = jax.nn.swish(h.astype(jnp.float32)).astype(bf) @ wn1.astype(bf)
+      return x + bf(1e-7) * h
+    x = jax.lax.fori_loop(0, ITERS, body, seeded(i, x))
+    return jnp.mean(x.astype(jnp.float32))
 
   def timeit(name, fn, *args):
     t0 = time.perf_counter()
@@ -93,12 +111,14 @@ def main():
       t0 = time.perf_counter()
       float(fn(*args, i))
       times.append(time.perf_counter() - t0)
-    print(f"{name}: {min(times)*1e3:.2f} ms (compile {compile_s:.1f}s, "
-          f"all {[round(t*1e3,2) for t in times]})")
+    per = (min(times) - 0.028) / ITERS
+    print(f"{name}: {per*1e3:.2f} ms/iter (total {min(times)*1e3:.1f} ms "
+          f"- ~28 ms dispatch, compile {compile_s:.1f}s, "
+          f"all {[round(t*1e3,1) for t in times]})")
 
-  timeit("mesh_gather", gather_only, x, ws)
-  timeit("mesh_kernel", kernel_only, e_pad, gs0, gr_pad, we, w1, masks)
-  timeit("mesh_nodeside", node_side, x, agg_dummy, wn0, wn1)
+  timeit("mesh_gather", gather_loop, x, ws)
+  timeit("mesh_kernel", kernel_loop, e_pad, gr_pad, we, w1, masks)
+  timeit("mesh_nodeside", node_loop, x, wn0, wn1)
 
 
 if __name__ == "__main__":
