@@ -78,8 +78,14 @@ def main():
       (params, inputs, targets, forcings))
 
   @jax.jit
+  def _step(p, rng, inputs, targets_template, forcings):
+    # params ride as a jit ARGUMENT: closing over them would inline the
+    # graph_statics (kernel masks/index maps) as HLO constants — the remote
+    # compile service rejects the oversized module with HTTP 413.
+    return predictor(p, rng, inputs, targets_template, forcings)
+
   def predictor_fn(rng, inputs, targets_template, forcings):
-    return predictor(params, rng, inputs, targets_template, forcings)
+    return _step(params, rng, inputs, targets_template, forcings)
 
   def run(seed):
     preds = rollout.chunked_ensemble_prediction(

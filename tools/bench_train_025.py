@@ -58,8 +58,13 @@ def main():
   fused = fused_modes[fused_env]
   predictor = Autoregressive(
       InputsAndResiduals(
-          Bfloat16Cast(GraphCast(model, task, decode_chunks=64,
-                                 encode_chunks=50,
+          Bfloat16Cast(GraphCast(model, task,
+                                 decode_chunks=int(os.environ.get(
+                                     "TRAIN_DECODE_CHUNKS",
+                                     "64" if resolution <= 0.5 else "1")),
+                                 encode_chunks=int(os.environ.get(
+                                     "TRAIN_ENCODE_CHUNKS",
+                                     "50" if resolution <= 0.5 else "1")),
                                  fused_aggregation=fused,
                                  remat_processor=True)),
           stddev_by_level=stddev, mean_by_level=mean,

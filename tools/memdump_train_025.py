@@ -51,8 +51,11 @@ def main():
   stddev, mean, diffs = synthetic.make_norm_stats(task)
   predictor = Autoregressive(
       InputsAndResiduals(
-          Bfloat16Cast(GraphCast(model, task, decode_chunks=64,
-                                 encode_chunks=50,
+          Bfloat16Cast(GraphCast(model, task,
+                                 decode_chunks=int(os.environ.get(
+                                     "TRAIN_DECODE_CHUNKS", "64")),
+                                 encode_chunks=int(os.environ.get(
+                                     "TRAIN_ENCODE_CHUNKS", "50")),
                                  fused_aggregation=_train_fused(),
                                  remat_processor=True)),
           stddev_by_level=stddev, mean_by_level=mean,

@@ -82,7 +82,7 @@ def main():
     return jnp.mean(gp.astype(jnp.float32))
 
   @jax.jit
-  def kernel_loop(c, gr, w1, mk, i):
+  def kernel_loop(c, gs0, gr, w1, mk, i):
     def body(_, carry):
       c, gr = carry
       agg = step(c, gs0, gr, None, None, w1, b1, scale, offset, masks=mk)
@@ -119,7 +119,7 @@ def main():
           f"all {[round(t*1e3,1) for t in times]})")
 
   timeit("g2m_gather", gather_loop, grid_proj)
-  timeit("g2m_kernel", kernel_loop, const, gr_pad, w1, masks)
+  timeit("g2m_kernel", kernel_loop, const, gs0, gr_pad, w1, masks)
   timeit("gridside_mlps", gridside_loop, grid_in)
 
 

@@ -82,7 +82,7 @@ def main():
     return jnp.mean(x.astype(jnp.float32))
 
   @jax.jit
-  def kernel_loop(e, gr, we, w1, mk, i):
+  def kernel_loop(e, gs0, gr, we, w1, mk, i):
     def body(_, carry):
       e, gr = carry
       eout, agg = step(e, gs0, gr, we, b, w1, b, one, b, masks=mk)
@@ -117,7 +117,7 @@ def main():
           f"all {[round(t*1e3,1) for t in times]})")
 
   timeit("mesh_gather", gather_loop, x, ws)
-  timeit("mesh_kernel", kernel_loop, e_pad, gr_pad, we, w1, masks)
+  timeit("mesh_kernel", kernel_loop, e_pad, gs0, gr_pad, we, w1, masks)
   timeit("mesh_nodeside", node_loop, x, wn0, wn1)
 
 
