@@ -279,11 +279,33 @@ class DeepGraphNet:
         return graph
 
       block_fn = jax.checkpoint(block_fn, static_argnums=(1, 2))
+      from jax.ad_checkpoint import checkpoint_name
+      total = (self.num_processor_repetitions
+               * self.num_message_passing_steps)
+      done = 0
       for _ in range(self.num_processor_repetitions):
         i = 0
         while i < self.num_message_passing_steps:
           n = min(block, self.num_message_passing_steps - i)
           graph = block_fn(graph, i, n)
+          done += n
+          if done < total:
+            # Name the inter-block boundaries so an ENCLOSING checkpoint
+            # may offload them (policy save_and_offload_only_these_names
+            # with "mp_block_carry", e.g. Autoregressive's
+            # loss_offload_processor_carries): the saved [E, C] boundary
+            # latents are ~364 MB each at 0.25°/mesh-6 and dominate the
+            # per-AR-step backward transient. A no-op under default
+            # policies; the final output is left unnamed (it flows to the
+            # decoder immediately — offloading it would round-trip host
+            # memory for nothing).
+            graph = graph._replace(
+                nodes={k: ns._replace(features=checkpoint_name(
+                    ns.features, "mp_block_carry"))
+                       for k, ns in graph.nodes.items()},
+                edges={k: es._replace(features=checkpoint_name(
+                    es.features, "mp_block_carry"))
+                       for k, es in graph.edges.items()})
           i += n
     else:
       for _ in range(self.num_processor_repetitions):

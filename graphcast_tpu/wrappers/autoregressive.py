@@ -86,7 +86,8 @@ class Autoregressive(WrapperPredictor):
                gradient_checkpointing: bool = False,
                loss_scan_unroll: int = 1,
                loss_scan_block: int = 1,
-               loss_carry_offload: bool = False):
+               loss_carry_offload: bool = False,
+               loss_offload_processor_carries: bool = False):
     """``loss_scan_unroll``: unroll factor for the AR-loss scan (clamped to
     the number of AR steps). At 0.25° the fully-unrolled 2-step backward
     packs ~2 GB tighter than the while-loop form (7% vs 32-34% buffer
@@ -124,7 +125,16 @@ class Autoregressive(WrapperPredictor):
       checkpoint (measured WORSE: 24.7 GB at 0.25°/4-step — XLA overlaps
       all the unrolled steps' backward transients).
 
-    Requires ``gradient_checkpointing``."""
+    Requires ``gradient_checkpointing``.
+
+    ``loss_offload_processor_carries``: checkpoint each AR step with a
+    policy that stages the inner model's NAMED "mp_block_carry"
+    residuals (the mesh processor's inter-block boundary latents, see
+    nn/deep_gnn.py remat_steps — 4 x ~364 MB at 0.25°/mesh-6) in pinned
+    host memory during the step's backward instead of HBM. Composes
+    with loss_carry_offload (the AR carries and the processor carries
+    are independent residual families). Requires
+    ``gradient_checkpointing``."""
     super().__init__(predictor)
     if loss_scan_block < 1:
       raise ValueError(f"loss_scan_block must be >= 1, got {loss_scan_block}")
@@ -136,11 +146,17 @@ class Autoregressive(WrapperPredictor):
       raise ValueError(
           "loss_carry_offload requires gradient_checkpointing=True (the "
           "offloaded carries are checkpoint residuals)")
+    if loss_offload_processor_carries and not gradient_checkpointing:
+      raise ValueError(
+          "loss_offload_processor_carries requires "
+          "gradient_checkpointing=True (the offloaded boundaries are "
+          "checkpoint residuals)")
     self._noise_level = noise_level
     self._gradient_checkpointing = gradient_checkpointing
     self._loss_scan_unroll = loss_scan_unroll
     self._loss_scan_block = loss_scan_block
     self._loss_carry_offload = loss_carry_offload
+    self._loss_offload_processor_carries = loss_offload_processor_carries
 
   def init(self, rng, inputs, targets_template, forcings, **kwargs):
     # The inner one-step predictor only ever sees single-timestep targets
@@ -304,7 +320,20 @@ class Autoregressive(WrapperPredictor):
       return next_window, (loss, diagnostics, pred_ys)
 
     if self._gradient_checkpointing and num_steps > 1:
-      step = jax.checkpoint(step)
+      if self._loss_offload_processor_carries:
+        # Default checkpoint saves NOTHING (full recompute); this policy
+        # additionally stages the inner model's named "mp_block_carry"
+        # residuals (mesh-processor block boundaries, nn/deep_gnn.py) in
+        # pinned host memory during the step's backward — at 0.25°/mesh-6
+        # they are 4 x ~364 MB of the per-step backward transient.
+        step = jax.checkpoint(
+            step,
+            policy=jax.checkpoint_policies.save_and_offload_only_these_names(
+                names_which_can_be_saved=[],
+                names_which_can_be_offloaded=["mp_block_carry"],
+                offload_src="device", offload_dst="pinned_host"))
+      else:
+        step = jax.checkpoint(step)
 
     unroll = max(1, min(self._loss_scan_unroll, num_steps))
     if (self._loss_carry_offload and num_steps > 1

@@ -453,6 +453,57 @@ def test_loss_carry_offload_invariance():
                    loss_carry_offload=True)
 
 
+def test_loss_offload_processor_carries_invariance():
+  """loss_offload_processor_carries (host-staged mesh-processor block
+  boundaries via the named-residual offload policy) is a memory knob:
+  loss and grads must match the plain per-step-checkpointed scan.
+  remat_processor=True so the named "mp_block_carry" boundaries actually
+  exist (nn/deep_gnn.py names every inter-block boundary)."""
+  from graphcast_tpu.data import synthetic as synth
+  from graphcast_tpu.models.graphcast import GraphCast
+  from graphcast_tpu.wrappers import Autoregressive, InputsAndResiduals
+
+  inputs, targets, forcings = synth.make_example_batch(
+      TINY_TASK, resolution=30.0, batch=1, num_target_times=2)
+  stddev, mean, diffs = synth.make_norm_stats(TINY_TASK)
+
+  def build(offload):
+    return Autoregressive(
+        InputsAndResiduals(
+            GraphCast(TINY_MODEL, TINY_TASK, cache_dir="",
+                      remat_processor=True),
+            stddev_by_level=stddev, mean_by_level=mean,
+            diffs_stddev_by_level=diffs),
+        gradient_checkpointing=True,
+        loss_offload_processor_carries=offload)
+
+  rng = jax.random.PRNGKey(0)
+  p0 = build(False)
+  params = p0.init(rng, inputs, targets, forcings)
+  trainable, statics = train.partition_params(params)
+
+  def loss_of(model):
+    def fn(trainable):
+      loss, _ = model.loss(train.merge_params(trainable, statics), rng,
+                           inputs, targets, forcings)
+      return jnp.mean(loss)
+    return fn
+
+  l0, g0 = jax.value_and_grad(loss_of(p0))(trainable)
+  l1, g1 = jax.value_and_grad(loss_of(build(True)))(trainable)
+  np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+  for (path, a), (_, b) in zip(
+      jax.tree_util.tree_flatten_with_path(g0)[0],
+      jax.tree_util.tree_flatten_with_path(g1)[0]):
+    np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6,
+        err_msg=f"{jax.tree_util.keystr(path)}")
+  import pytest
+  with pytest.raises(ValueError, match="gradient_checkpointing"):
+    Autoregressive(p0._predictor, gradient_checkpointing=False,
+                   loss_offload_processor_carries=True)
+
+
 def test_loss_carry_offload_block_invariance():
   """loss_carry_offload composed with loss_scan_block (the form that fits
   4-step AR at 0.25° in 16 GB: block scan serializes per-block backwards,

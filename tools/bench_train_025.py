@@ -74,7 +74,11 @@ def main():
       loss_scan_block=int(os.environ.get("AR_BLOCK", "1")),
       # AR_OFFLOAD=1 stages inter-step carry windows in TPU-host pinned
       # memory (the lever that fits 4-step AR in 16 GB HBM).
-      loss_carry_offload=bool(int(os.environ.get("AR_OFFLOAD", "0"))))
+      loss_carry_offload=bool(int(os.environ.get("AR_OFFLOAD", "0"))),
+      # AR_OFFLOAD_MP=1 stages the mesh-processor block boundaries in
+      # pinned host memory during each step's backward.
+      loss_offload_processor_carries=bool(
+          int(os.environ.get("AR_OFFLOAD_MP", "0"))))
 
   inputs, targets, forcings = synthetic.make_example_batch(
       task, resolution=resolution, batch=1, num_target_times=ar_steps)

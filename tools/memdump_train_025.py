@@ -63,7 +63,11 @@ def main():
       gradient_checkpointing=True,
       loss_scan_unroll=int(os.environ.get("AR_UNROLL", "4")),
       loss_scan_block=int(os.environ.get("AR_BLOCK", "1")),
-      loss_carry_offload=bool(int(os.environ.get("AR_OFFLOAD", "0"))))
+      loss_carry_offload=bool(int(os.environ.get("AR_OFFLOAD", "0"))),
+      # AR_OFFLOAD_MP=1 stages the mesh-processor block boundaries in
+      # pinned host memory during each step's backward.
+      loss_offload_processor_carries=bool(
+          int(os.environ.get("AR_OFFLOAD_MP", "0"))))
 
   inputs, targets, forcings = synthetic.make_example_batch(
       task, resolution=resolution, batch=1, num_target_times=ar_steps)
