@@ -198,6 +198,104 @@ def _fused_edge_kernel(block_of, first_of, *refs, cs, bn, has_we,
       preferred_element_type=jnp.float32)
 
 
+def _fused_edge_pipelined_kernel(block_of, first_of, *refs, cs, bn, has_we,
+                                 write_eout, embed, ln_stats, cs_full, tc):
+  """Software-pipelined forward: grid step g runs chunk g-1's TAIL
+  (swish → w1 → LayerNorm → residual/aggregation — the VPU-heavy half)
+  and chunk g's HEAD (the first factored linear — MXU-heavy) in one kernel
+  body with no data dependence between them, so Mosaic can overlap the
+  VPU chain against the MXU matmuls that the plain kernel serializes
+  behind it (measured 4.68 ms/step vs a ~2.6 ms MXU bound at
+  0.25°/mesh-6). Grid is (tc + 1,); the head's intermediates (x0 in the
+  activation dtype, the unpacked one-hot, and the post-embed edge rows
+  when needed) carry to the next grid step in VMEM scratch. Numerics are
+  bit-identical to _fused_edge_kernel: the same ops run in the same
+  dtypes, one grid step later."""
+  g = pl.program_id(0)
+  it = iter(refs)
+  e_ref = next(it)
+  gs_ref = next(it)
+  maskt_ref = next(it)
+  gr_ref = next(it)
+  if embed:
+    ew0_ref = next(it)
+    eb0_ref = next(it)
+    ew1_ref = next(it)
+    eb1_ref = next(it)
+  if has_we:
+    we_ref = next(it)
+    b0_ref = next(it)
+  w1_ref = next(it)
+  b1_ref = next(it)
+  scale_ref = next(it)
+  off_ref = next(it)
+  eout_ref = next(it) if write_eout else None
+  agg_ref = next(it)
+  x0_scr = next(it)
+  oh_scr = next(it)
+  e_scr = next(it) if write_eout else None
+
+  # ---- tail of chunk g-1 (reads last step's scratch) ----
+  @pl.when(jnp.logical_and(g > 0, first_of[jnp.maximum(g - 1, 0)] == 1))
+  def _init_agg():
+    agg_ref[:] = jnp.zeros_like(agg_ref)
+
+  @pl.when(g > 0)
+  def _tail():
+    xd = x0_scr[:]                                  # [cs, C] act dtype
+    h = _swish(xd)
+    y = jax.lax.dot_general(
+        h, w1_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    y += b1_ref[0][None].astype(jnp.float32)
+    yc, rstd = _ln_moments(y, ln_stats)
+    yn = yc * rstd
+    yn = yn * scale_ref[0][None].astype(jnp.float32)
+    yn = yn + off_ref[0][None].astype(jnp.float32)
+    if write_eout:
+      eout_ref[:] = (e_scr[:].astype(jnp.float32) + yn).astype(eout_ref.dtype)
+    agg_ref[:] += jax.lax.dot_general(
+        oh_scr[:], yn.astype(oh_scr.dtype), (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+  # ---- head of chunk g (writes scratch for the next step) ----
+  @pl.when(g < tc)
+  def _head():
+    e = e_ref[:]
+    if embed:
+      x = jax.lax.dot_general(
+          e, ew0_ref[:], (((1,), (0,)), ((), ())),
+          preferred_element_type=jnp.float32)
+      x += eb0_ref[0][None].astype(jnp.float32)
+      hh = _swish(x.astype(gs_ref.dtype))
+      y0 = jax.lax.dot_general(
+          hh, ew1_ref[:], (((1,), (0,)), ((), ())),
+          preferred_element_type=jnp.float32)
+      y0 += eb1_ref[0][None].astype(jnp.float32)
+      eyc, erstd = _ln_moments(y0, ln_stats)
+      e = (eyc * erstd).astype(gs_ref.dtype)
+    if has_we:
+      x0 = jax.lax.dot_general(
+          e, we_ref[:], (((1,), (0,)), ((), ())),
+          preferred_element_type=jnp.float32)
+    else:
+      x0 = e.astype(jnp.float32)
+    x0 += gs_ref[:].astype(jnp.float32)
+    onehot_t = _unpack_mask_rows(
+        maskt_ref[0], cs, bn, mask_row_group(cs_full)).astype(gr_ref.dtype)
+    x0 += jax.lax.dot_general(
+        onehot_t, gr_ref[:], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    if has_we:
+      x0 += b0_ref[0][None].astype(jnp.float32)
+    # Same downcast point as the plain kernel (swish runs in the
+    # activation dtype there too) — the scratch carries no extra rounding.
+    x0_scr[:] = x0.astype(x0_scr.dtype)
+    oh_scr[:] = onehot_t
+    if write_eout:
+      e_scr[:] = e
+
+
 def _fused_edge_bwd_kernel(block_of, first_of, *refs, cs, bn, has_we,
                            write_eout, embed, ln_stats, cs_full):
   """Backward of _fused_edge_kernel: recompute the chunk's forward pipeline
@@ -389,7 +487,8 @@ class FusedEdgeStep:
                write_edges: bool = True,
                fused_backward: bool = True,
                bwd_split: int = 1,
-               ln_stats: Optional[str] = None):
+               ln_stats: Optional[str] = None,
+               pipelined: Optional[bool] = None):
     """include_edge_matmul=False: the edge input rows are the hoisted static
     first-layer part (embed(edge_feats) @ We + b0) — skip the We matmul and
     bias. write_edges=False: no updated-edge-latent output (the grid2mesh
@@ -406,7 +505,16 @@ class FusedEdgeStep:
     ln_stats selects how the LayerNorm row statistics are computed inside
     the kernels: "vpu" (jnp.mean lane reductions), "mxu" (ones-matmul on
     the MXU, see _row_mean), or "off" (skip the stats — profiling ceiling
-    only, wrong numerics). Default: $GC_LN_STATS or "vpu"."""
+    only, wrong numerics). Default: $GC_LN_STATS or "vpu".
+
+    pipelined runs the FORWARD through the software-pipelined kernel
+    (_fused_edge_pipelined_kernel: chunk g-1's VPU-heavy tail overlaps
+    chunk g's MXU-heavy head; numerics identical). Default:
+    $GC_PIPELINED_EDGE or on. The backward is unchanged."""
+    if pipelined is None:
+      import os
+      pipelined = os.environ.get("GC_PIPELINED_EDGE", "1") == "1"
+    self.pipelined = bool(pipelined)
     self.ln_stats = _ln_stats_option(ln_stats)
     if not summer.padded_input:
       raise ValueError("FusedEdgeStep needs a padded-input BlockedSegmentSum")
@@ -531,16 +639,28 @@ class FusedEdgeStep:
       return x.reshape(1, C)
 
     ln_stats = _ln_stats_for(self.ln_stats, C)
-    kernel = functools.partial(
-        _fused_edge_kernel, cs=cs, bn=bn, cs_full=cs,
-        has_we=self.include_edge_matmul, write_eout=self.write_edges,
-        embed=embed_weights is not None, ln_stats=ln_stats)
+    pipe = self.pipelined
+    if pipe:
+      kernel = functools.partial(
+          _fused_edge_pipelined_kernel, cs=cs, bn=bn, cs_full=cs, tc=tc,
+          has_we=self.include_edge_matmul, write_eout=self.write_edges,
+          embed=embed_weights is not None, ln_stats=ln_stats)
+      # Head stage (inputs) reads chunk g, tail stage (outputs) writes
+      # chunk g-1; one trailing grid step drains the pipeline.
+      hi = lambda c: jnp.minimum(c, tc - 1)       # noqa: E731
+      ti = lambda c: jnp.maximum(c - 1, 0)        # noqa: E731
+    else:
+      kernel = functools.partial(
+          _fused_edge_kernel, cs=cs, bn=bn, cs_full=cs,
+          has_we=self.include_edge_matmul, write_eout=self.write_edges,
+          embed=embed_weights is not None, ln_stats=ln_stats)
+      hi = ti = lambda c: c                       # noqa: E731
     in_specs = [
-        pl.BlockSpec((cs, F), lambda c, bo, fo: (c, 0)),       # e / ef
-        pl.BlockSpec((cs, C), lambda c, bo, fo: (c, 0)),       # gs
+        pl.BlockSpec((cs, F), lambda c, bo, fo: (hi(c), 0)),   # e / ef
+        pl.BlockSpec((cs, C), lambda c, bo, fo: (hi(c), 0)),   # gs
         pl.BlockSpec((1, cs // 32, bn),
-                     lambda c, bo, fo: (c, 0, 0)),             # maskt
-        pl.BlockSpec((bn, C), lambda c, bo, fo: (bo[c], 0)),   # gr
+                     lambda c, bo, fo: (hi(c), 0, 0)),         # maskt
+        pl.BlockSpec((bn, C), lambda c, bo, fo: (bo[hi(c)], 0)),  # gr
     ]
     # Only the [cs, bn] orientation is needed: the aggregation contracts it
     # transposed on the MXU (the (mask, mask_t) tuple interface is kept for
@@ -573,18 +693,26 @@ class FusedEdgeStep:
     out_specs = []
     out_shape = []
     if self.write_edges:
-      out_specs.append(pl.BlockSpec((cs, C), lambda c, bo, fo: (c, 0)))
+      out_specs.append(pl.BlockSpec((cs, C), lambda c, bo, fo: (ti(c), 0)))
       out_shape.append(jax.ShapeDtypeStruct((L, C), dtype))
-    out_specs.append(pl.BlockSpec((bn, C), lambda c, bo, fo: (bo[c], 0)))
+    out_specs.append(
+        pl.BlockSpec((bn, C), lambda c, bo, fo: (bo[ti(c)], 0)))
     out_shape.append(jax.ShapeDtypeStruct((nb * bn, C), jnp.float32))
+    scratch_shapes = []
+    if pipe:
+      scratch_shapes = [pltpu.VMEM((cs, C), dtype),   # x0 (act dtype)
+                        pltpu.VMEM((cs, bn), dtype)]  # unpacked one-hot
+      if self.write_edges:
+        scratch_shapes.append(pltpu.VMEM((cs, C), dtype))  # post-embed e
 
     outs = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
-            grid=(tc,),
+            grid=(tc + 1,) if pipe else (tc,),
             in_specs=in_specs,
             out_specs=out_specs,
+            scratch_shapes=scratch_shapes,
         ),
         out_shape=tuple(out_shape),
         interpret=interpret,
