@@ -79,7 +79,7 @@ def main():
       def body(_, t):
         gs = t[idx]
         return t + bf(1e-7) * gs[:t.shape[0]]
-      t = jax.lax.fori_loop(0, ITERS, body, t + bf(1e-6) * bf(i))
+      t = jax.lax.fori_loop(0, ITERS, body, tab + bf(1e-6) * bf(i))
       return jnp.mean(t.astype(jnp.float32))
     return loop
 
