@@ -27,6 +27,13 @@ import time
 import numpy as np
 
 
+def _env_flag(name: str) -> bool:
+  """Boolean env knob: unset, "", and "0" are all off (plain
+  os.environ.get truthiness treats the string "0" as ON — a measured
+  footgun: BENCH_GENCAST=0 used to make the gencast line primary)."""
+  return os.environ.get(name, "0") not in ("", "0")
+
+
 def _build(resolution, mesh_size, latent, msg_steps, task,
            decode_chunks, encode_chunks):
   from graphcast_tpu.data import synthetic
@@ -244,7 +251,7 @@ def main():
   # GenCast metric (captured to BENCH_GENCAST.json every run; primary line
   # with BENCH_GENCAST=1).
   gc_result = None
-  if not os.environ.get("BENCH_SKIP_GENCAST"):
+  if not _env_flag("BENCH_SKIP_GENCAST"):
     try:
       gc_metric, gc_steady, gc_compile = _bench_gencast()
       gc_result = {
@@ -263,14 +270,14 @@ def main():
       print(f"# gencast bench failed ({type(e).__name__}: {e})",
             file=sys.stderr)
 
-  if os.environ.get("BENCH_GENCAST"):
+  if _env_flag("BENCH_GENCAST"):
     if gc_result is None:
       raise SystemExit("BENCH_GENCAST=1 but the gencast bench failed")
     print(json.dumps(gc_result))
     return
 
   metric = steady = compile_s = None
-  if not os.environ.get("BENCH_FALLBACK_ONLY"):
+  if not _env_flag("BENCH_FALLBACK_ONLY"):
     try:
       metric, steady, compile_s = _bench_north_star(num_steps)
     except Exception as e:  # OOM / no compile service → fall back
