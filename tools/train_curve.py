@@ -1,0 +1,163 @@
+"""Training loss-descent curve: does the optimizer actually learn?
+
+The bench tools time single train steps; this tool runs the real training
+loop (train.make_train_step: loss + grads + AdamW on f32 masters) for N
+steps on a fixed synthetic batch and records the loss series. On a fixed
+batch the model must memorize, so a healthy pipeline shows a monotonic-ish
+descent; a broken gradient path (e.g. a custom-VJP bug in the fused
+kernels) shows a flat or diverging curve. Writes TRAINCURVE_<model>.json.
+
+Usage:
+  python tools/train_curve.py [num_steps]          # GraphCast 1.0deg/13lev
+  CURVE_MODEL=gencast python tools/train_curve.py  # GenCast 1.0deg diffusion
+
+GenCast's loss is stochastic (fresh noise levels + spherical noise each
+step), so its curve is noisy; we report first/last windowed means.
+Rig rules: everything rides as jit args; readback forces each step.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _env_int(name, default):
+  return int(os.environ.get(name, str(default)))
+
+
+def _build_graphcast():
+  from graphcast_tpu.data import synthetic
+  from graphcast_tpu.models import configs
+  from graphcast_tpu.models.graphcast import GraphCast
+  from graphcast_tpu.wrappers import (
+      Autoregressive, Bfloat16Cast, InputsAndResiduals)
+
+  task = configs.TASK_13
+  resolution = float(os.environ.get("CURVE_RESOLUTION", "1.0"))
+  model = configs.ModelConfig(
+      resolution=resolution, mesh_size=_env_int("CURVE_MESH_SIZE", 5),
+      latent_size=_env_int("CURVE_LATENT", 512),
+      gnn_msg_steps=_env_int("CURVE_MSG_STEPS", 16),
+      hidden_layers=1, radius_query_fraction_edge_length=0.6)
+  stddev, mean, diffs = synthetic.make_norm_stats(task)
+  predictor = Autoregressive(
+      InputsAndResiduals(
+          Bfloat16Cast(GraphCast(model, task, fused_aggregation="processor",
+                                 remat_processor=True)),
+          stddev_by_level=stddev, mean_by_level=mean,
+          diffs_stddev_by_level=diffs),
+      gradient_checkpointing=True)
+  inputs, targets, forcings = synthetic.make_example_batch(
+      task, resolution=resolution, batch=1, num_target_times=1)
+  tag = f"graphcast_{str(resolution).replace('.', 'p')}"
+  return predictor, inputs, targets, forcings, tag
+
+
+def _build_gencast():
+  from graphcast_tpu.data import synthetic
+  from graphcast_tpu.models import gencast
+  from graphcast_tpu.models.denoiser import (
+      DenoiserArchitectureConfig, NoiseEncoderConfig)
+  from graphcast_tpu.models.sparse_transformer import SparseTransformerConfig
+  from graphcast_tpu.wrappers import InputsAndResiduals, NaNCleaner
+
+  task = gencast.TASK
+  st_cfg = SparseTransformerConfig(
+      attention_k_hop=16, d_model=_env_int("CURVE_LATENT", 512),
+      num_layers=_env_int("CURVE_LAYERS", 16), num_heads=4,
+      attention_type="splash_mha")
+  arch_cfg = DenoiserArchitectureConfig(
+      sparse_transformer_config=st_cfg,
+      mesh_size=_env_int("CURVE_MESH_SIZE", 5),
+      latent_size=_env_int("CURVE_LATENT", 512), hidden_layers=1)
+  predictor = gencast.GenCast(
+      task_config=task, denoiser_architecture_config=arch_cfg,
+      sampler_config=gencast.SamplerConfig(),
+      noise_config=gencast.NoiseConfig(),
+      noise_encoder_config=NoiseEncoderConfig(),
+      fused_aggregation=False)
+  stddev, mean, diffs = synthetic.make_norm_stats(task)
+  predictor = NaNCleaner(
+      InputsAndResiduals(predictor, stddev_by_level=stddev,
+                         mean_by_level=mean, diffs_stddev_by_level=diffs),
+      var_to_clean="sea_surface_temperature", fill_value=0.0)
+  inputs, targets, forcings = synthetic.make_example_batch(
+      task, resolution=float(os.environ.get("CURVE_RESOLUTION", "1.0")),
+      batch=1, num_target_times=1, time_step_hours=12)
+  res = os.environ.get("CURVE_RESOLUTION", "1.0")
+  return predictor, inputs, targets, forcings, f"gencast_{res.replace('.', 'p')}"
+
+
+def main():
+  num_steps = int(sys.argv[1]) if len(sys.argv) > 1 else 60
+  import jax
+  import jax.numpy as jnp
+  cache = os.path.join(os.path.expanduser("~"), ".cache", "graphcast_tpu",
+                       "xla_cache")
+  jax.config.update("jax_compilation_cache_dir", cache)
+  jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+
+  from graphcast_tpu import train
+
+  which = os.environ.get("CURVE_MODEL", "graphcast")
+  builders = {"graphcast": _build_graphcast, "gencast": _build_gencast}
+  if which not in builders:
+    raise SystemExit(f"CURVE_MODEL={which!r}: expected one of "
+                     f"{sorted(builders)}")
+  predictor, inputs, targets, forcings, tag = builders[which]()
+
+  rng = jax.random.PRNGKey(0)
+  optimizer = train.graphcast_optimizer(
+      peak_lr=float(os.environ.get("CURVE_LR", "3e-4")))
+  state = train.init_train_state(predictor, optimizer, rng, inputs, targets,
+                                 forcings)
+  step_fn = train.make_train_step(predictor, optimizer)
+  inputs = inputs.astype(jnp.bfloat16)
+  targets = targets.astype(jnp.bfloat16)
+  forcings = forcings.astype(jnp.bfloat16)
+  state, inputs, targets, forcings = jax.device_put(
+      (state, inputs, targets, forcings))
+
+  t0 = time.perf_counter()
+  losses = []
+  for i in range(num_steps):
+    state, loss, _ = step_fn(state, jax.random.fold_in(rng, i), inputs,
+                             targets, forcings)
+    losses.append(float(loss))  # forced readback, keeps host in lockstep
+    if i == 0:
+      compile_s = time.perf_counter() - t0
+    if i % 10 == 0 or i == num_steps - 1:
+      print(f"step {i:4d}: loss {losses[-1]:.5f}")
+  assert all(np.isfinite(l) for l in losses), "non-finite loss in curve"
+
+  w = max(1, num_steps // 10)
+  first, last = float(np.mean(losses[:w])), float(np.mean(losses[-w:]))
+  print(f"{tag}: loss {first:.5f} -> {last:.5f} over {num_steps} steps "
+        f"({(1 - last / first) * 100:.1f}% drop, compile {compile_s:.1f}s)")
+
+  repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+  artifact = os.path.join(repo, f"TRAINCURVE_{tag}.json")
+  with open(artifact, "w") as f:
+    json.dump({
+        "metric": f"train_loss_descent_{tag}_{num_steps}steps",
+        "first_window_mean": round(first, 5),
+        "last_window_mean": round(last, 5),
+        "drop_pct": round((1 - last / first) * 100, 2),
+        "losses": [round(l, 5) for l in losses],
+        "lr": float(os.environ.get("CURVE_LR", "3e-4")),
+        "note": ("fixed synthetic batch, real train step (AdamW, f32 "
+                 "masters, bf16 activations, fused kernels); descent "
+                 "proves the full gradient path optimizes; reproduce "
+                 f"with CURVE_MODEL={which} python tools/train_curve.py "
+                 f"{num_steps}")}, f)
+    f.write("\n")
+  print(f"# wrote {artifact}")
+
+
+if __name__ == "__main__":
+  main()
