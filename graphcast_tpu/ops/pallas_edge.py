@@ -508,12 +508,17 @@ class FusedEdgeStep:
     only, wrong numerics). Default: $GC_LN_STATS or "vpu".
 
     pipelined runs the FORWARD through the software-pipelined kernel
-    (_fused_edge_pipelined_kernel: chunk g-1's VPU-heavy tail overlaps
-    chunk g's MXU-heavy head; numerics identical). Default:
-    $GC_PIPELINED_EDGE or on. The backward is unchanged."""
+    (_fused_edge_pipelined_kernel: chunk g-1's VPU-heavy tail interleaved
+    with chunk g's MXU-heavy head; numerics identical). Measured on TPU
+    v5e (round 4): NO speedup — mesh-kernel piece 4.48 (plain) vs 4.53 ms
+    (pipelined), north star 8.671 vs 8.907 s — the core's single
+    instruction stream already hides MXU latency behind dependent VPU
+    work, and the extra VMEM scratch costs more than the interleave buys.
+    Default: $GC_PIPELINED_EDGE, off. Kept as a measured-dead lever with
+    tests. The backward is unchanged."""
     if pipelined is None:
       import os
-      pipelined = os.environ.get("GC_PIPELINED_EDGE", "1") == "1"
+      pipelined = os.environ.get("GC_PIPELINED_EDGE", "0") == "1"
     self.pipelined = bool(pipelined)
     self.ln_stats = _ln_stats_option(ln_stats)
     if not summer.padded_input:

@@ -451,3 +451,17 @@ def test_empty_block_rejected():
                                        padded_input=True)
   with pytest.raises(ValueError):
     pallas_edge.FusedEdgeStep(summer, interpret=True)
+
+
+def test_pipelined_forward_matches_plain():
+  """The software-pipelined forward (measured-dead lever, default off;
+  GC_PIPELINED_EDGE=1 re-enables) must stay bit-equivalent to the plain
+  kernel: same ops, same dtypes, one grid step later."""
+  summer, step, senders, receivers, e_pad, x, p = make_setup(seed=3)
+  step_pipe = pallas_edge.FusedEdgeStep(summer, interpret=True,
+                                        pipelined=True)
+  assert not step.pipelined and step_pipe.pipelined
+  eout_a, agg_a = run_fused(step, senders, e_pad, x, p)
+  eout_b, agg_b = run_fused(step_pipe, senders, e_pad, x, p)
+  np.testing.assert_array_equal(np.asarray(eout_a), np.asarray(eout_b))
+  np.testing.assert_array_equal(np.asarray(agg_a), np.asarray(agg_b))
