@@ -13,7 +13,10 @@ device→host is ~10 MB/s through the tunnel and would swamp compute);
 timing forces a scalar readback; rng varies per run.
 
 Env knobs: ROLLOUT_MEMBERS (default 2), ROLLOUT_STEPS (30),
-ROLLOUT_CHUNK (1; GenCast predicts one 12h step per call).
+ROLLOUT_CHUNK (1; GenCast predicts one 12h step per call),
+ROLLOUT_RESOLUTION (1.0; at 0.25 use mesh-6 and fewer steps/members —
+the device-resident trajectory costs ~177 MB per member-step there),
+ROLLOUT_MESH_SIZE (5).
 """
 
 import json
@@ -30,6 +33,8 @@ def main():
   members = int(os.environ.get("ROLLOUT_MEMBERS", "2"))
   num_steps = int(os.environ.get("ROLLOUT_STEPS", "30"))
   chunk = int(os.environ.get("ROLLOUT_CHUNK", "1"))
+  resolution = float(os.environ.get("ROLLOUT_RESOLUTION", "1.0"))
+  mesh_size = int(os.environ.get("ROLLOUT_MESH_SIZE", "5"))
   import jax
   import jax.numpy as jnp
   cache = os.path.join(os.path.expanduser("~"), ".cache", "graphcast_tpu",
@@ -50,7 +55,7 @@ def main():
       attention_k_hop=16, d_model=512, num_layers=16, num_heads=4,
       attention_type="splash_mha")
   arch_cfg = DenoiserArchitectureConfig(
-      sparse_transformer_config=st_cfg, mesh_size=5, latent_size=512,
+      sparse_transformer_config=st_cfg, mesh_size=mesh_size, latent_size=512,
       hidden_layers=1)
   predictor = gencast.GenCast(
       task_config=task,
@@ -65,7 +70,7 @@ def main():
       var_to_clean="sea_surface_temperature", fill_value=0.0)
 
   inputs, targets, forcings = synthetic.make_example_batch(
-      task, resolution=1.0, batch=1, num_target_times=num_steps,
+      task, resolution=resolution, batch=1, num_target_times=num_steps,
       time_step_hours=12)
   rng = jax.random.PRNGKey(0)
   params = predictor.init(
@@ -109,25 +114,33 @@ def main():
   steady = min(times)
   member_steps = members * num_steps
   per_ms = steady / member_steps
-  # Reference: 6 chip-seconds per member-step (3 min × 4 chips / 120).
-  vs_baseline = 6.0 / per_ms
-  print(f"gencast_rollout_1.0deg: {steady:.1f} s for {members}x{num_steps} "
+  # Reference chip-seconds per member-step: 1.0° = 6 (3 min × 4 v5e chips /
+  # 120 member-steps); 0.25° = 128 (8 min × 8 v5p chips / 30 member-steps,
+  # docs/cloud_vm_setup.md:36).
+  baseline_cs = 128.0 if resolution == 0.25 else 6.0
+  vs_baseline = baseline_cs / per_ms
+  print(f"gencast_rollout_{resolution}deg: {steady:.1f} s for {members}x{num_steps} "
         f"steps ({per_ms:.2f} s/member-step; compile+first {compile_s:.1f}s)")
   repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-  artifact = os.path.join(repo, "BENCH_GENCAST_ROLLOUT.json")
+  suffix = "_025" if resolution == 0.25 else ""
+  artifact = os.path.join(repo, f"BENCH_GENCAST_ROLLOUT{suffix}.json")
   with open(artifact, "w") as f:
     json.dump({
-        "metric": f"gencast_1.0deg_mesh5_splash_{num_steps}step_"
-                  f"{members}member_rollout",
+        "metric": f"gencast_{resolution}deg_mesh{mesh_size}_splash_"
+                  f"{num_steps}step_{members}member_rollout",
         "value": round(steady, 1), "unit": "s",
         "s_per_member_step": round(per_ms, 3),
         "vs_baseline": round(vs_baseline, 3),
         "compile_s": round(compile_s, 1),
         "note": ("full chunked-ensemble rollout on ONE 16 GB v5e, "
                  "trajectory device-resident; reference = 3 min for "
-                 "4 members x 30 steps on FOUR v5e chips post-compile "
-                 "(6 chip-s/member-step, docs/cloud_vm_setup.md:30-31); "
-                 f"reproduce with python tools/bench_gencast_rollout.py")},
+                 "4 members x 30 steps on FOUR v5e chips at 1.0deg "
+                 "(6 chip-s/member-step) / 8 min per 30-step member on "
+                 "EIGHT 32 GB v5p at 0.25deg (128 chip-s/member-step), "
+                 "docs/cloud_vm_setup.md:30-36; reproduce with "
+                 f"ROLLOUT_RESOLUTION={resolution} ROLLOUT_MESH_SIZE="
+                 f"{mesh_size} ROLLOUT_MEMBERS={members} ROLLOUT_STEPS="
+                 f"{num_steps} python tools/bench_gencast_rollout.py")},
         f)
   print(f"# wrote {artifact}")
 
