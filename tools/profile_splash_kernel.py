@@ -13,6 +13,8 @@ Variants:
   nomask  — all mask_rows forced 0 (no unpack/select; upper bound)
 
 Usage: python tools/profile_splash_kernel.py [mesh_size] [layers]
+Env: SPLASH_BQ / SPLASH_BKV override the forward tile sizes (defaults
+512/512 — the production config) for block-size sweeps.
 """
 
 import os
@@ -39,14 +41,18 @@ def main():
   from graphcast_tpu.models.sparse_transformer import k_hop_adjacency
   from graphcast_tpu.ops import splash
 
+  bq = int(os.environ.get("SPLASH_BQ", "512"))
+  bkv = int(os.environ.get("SPLASH_BKV", "512"))
   meshes = ico.get_mesh_hierarchy(mesh_size)
-  m = artifact_lib.permute_mesh_to_banded(meshes[-1], patch_size=512)
+  # Patch ordering aligned to the q-block size (what the model does).
+  m = artifact_lib.permute_mesh_to_banded(meshes[-1], patch_size=bq)
   s, r = ico.faces_to_edges(m.faces)
   n = m.vertices.shape[0]
   mask = k_hop_adjacency(s, r, n, 16)
   attn = splash.BlockSparseAttention.from_mask(
-      mask, block_q=512, block_kv=512, interpret=False)
+      mask, block_q=bq, block_kv=bkv, interpret=False)
   statics_np = attn.host_statics()
+  print(f"# tiles: block_q={bq} block_kv={bkv}")
   act = int(statics_np["kv_count"].sum())
   print(f"# mesh-{mesh_size} n={n} active_blocks={act} "
         f"partial_table_rows={statics_np['mask_blocks'].shape[0]}")
