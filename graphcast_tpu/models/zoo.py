@@ -81,39 +81,52 @@ class GenCastPreset:
   noise_config: "object"
   noise_encoder_config: "object"
 
-  def build(self):
-    """Constructs the GenCast predictor for this preset."""
+  def build(self, **gencast_kwargs):
+    """Constructs the GenCast predictor for this preset. Extra kwargs pass
+    through to :class:`gencast.GenCast` (e.g. ``decode_chunks``,
+    ``encode_chunks``, ``fused_aggregation``) — execution knobs that do
+    not change the architecture."""
     from graphcast_tpu.models import gencast
     return gencast.GenCast(
         task_config=self.task_config,
         denoiser_architecture_config=self.denoiser_architecture_config,
         sampler_config=self.sampler_config,
         noise_config=self.noise_config,
-        noise_encoder_config=self.noise_encoder_config)
+        noise_encoder_config=self.noise_encoder_config,
+        **gencast_kwargs)
 
 
-def _gencast_preset(name: str, resolution: float,
-                    mesh_size: int) -> GenCastPreset:
+def gencast_custom(resolution: float, mesh_size: int, d_model: int = 512,
+                   num_layers: int = 16, num_heads: int = 4,
+                   latent_size: int = 512,
+                   name: str = "GenCast (custom)") -> GenCastPreset:
+  """The released GenCast architecture (arXiv 2312.15796 §A + the reference
+  defaults) at an arbitrary resolution/mesh size: 512-latent GNN
+  encoder/decoder, 16-layer / 4-head / k-hop-16 sparse transformer
+  processor on the mesh. The benches/tools build from here so a preset
+  correction lands everywhere at once."""
   from graphcast_tpu.models import gencast
   from graphcast_tpu.models.denoiser import (
       DenoiserArchitectureConfig, NoiseEncoderConfig)
   from graphcast_tpu.models.sparse_transformer import SparseTransformerConfig
 
-  # The released GenCast architecture (arXiv 2312.15796 §A + the reference
-  # defaults): 512-latent GNN encoder/decoder, 16-layer / 4-head / k-hop-16
-  # sparse transformer processor on the mesh.
   st_cfg = SparseTransformerConfig(
-      attention_k_hop=16, d_model=512, num_layers=16, num_heads=4,
-      attention_type="splash_mha")
+      attention_k_hop=16, d_model=d_model, num_layers=num_layers,
+      num_heads=num_heads, attention_type="splash_mha")
   arch = DenoiserArchitectureConfig(
       sparse_transformer_config=st_cfg, mesh_size=mesh_size,
-      latent_size=512, hidden_layers=1)
+      latent_size=latent_size, hidden_layers=1)
   return GenCastPreset(
       name=name, resolution=resolution, task_config=gencast.TASK,
       denoiser_architecture_config=arch,
       sampler_config=gencast.SamplerConfig(),
       noise_config=gencast.NoiseConfig(),
       noise_encoder_config=NoiseEncoderConfig())
+
+
+def _gencast_preset(name: str, resolution: float,
+                    mesh_size: int) -> GenCastPreset:
+  return gencast_custom(resolution, mesh_size, name=name)
 
 
 def gencast_0p25deg() -> GenCastPreset:

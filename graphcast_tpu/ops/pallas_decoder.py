@@ -715,9 +715,10 @@ class FusedMesh2GridDecoder:
       maskc = lay.get("masks")
       if maskc is None:
         maskc = jnp.asarray(self.compact_masks)
-      # Rows of a forward block are slot-major (j*bn + v): reshaping to
-      # [nb, 3, split, bs, u//32] makes sub-block s of slot j a contiguous
-      # block for the split backward grid.
+      # The ROW-packed words of a forward block are slot-major: reshaping
+      # to [nb, 3, split, bs//32, u] makes sub-block s of slot j a
+      # contiguous [bs//32, u] word block for the split backward grid
+      # (legal because bs is a multiple of the pack's row group).
       maskb = maskc.reshape(nb, 3, split, bs // 32, u)
       comp = mesh_proj[ids].reshape(nb, u, C).astype(dtype)
       in_specs += [

@@ -35,6 +35,7 @@ sparse_transformer.py:291).
 from __future__ import annotations
 
 import functools
+import os
 from typing import Optional
 
 import jax
@@ -51,12 +52,20 @@ def mask_row_group(rows: int) -> int:
   """Row-group granularity for sublane-packed masks over ``rows`` rows.
 
   The packing is strided per group, so a consumer may slice the packed
-  words only at multiples of the group. The group is chosen as the largest
-  value ≤256 that still lets the fused-edge backward split a chunk in two
-  (bwd_split=2 ⇒ sub-chunks of rows//2): min(256, rows//2) when rows//2 is
-  a 32-multiple, else the whole block (split-1 consumers only)."""
+  words only at multiples of the group; the group must also DIVIDE the
+  row count (``_pack_mask_bits_rows`` asserts it). The group is chosen as
+  the largest 32-multiple ≤256 dividing rows//2, so the fused-edge
+  backward can split a chunk in two (bwd_split=2 ⇒ sub-chunks of
+  rows//2). For power-of-two rows this is min(256, rows//2); for other
+  64-multiples (e.g. 640 → 160) it is the largest qualifying divisor.
+  Rows not divisible by 64 pack as one whole group (split-1 consumers
+  only)."""
   if rows % 64 == 0:
-    return min(256, rows // 2)
+    half = rows // 2
+    g = 256
+    while half % g:
+      g -= 32
+    return g
   return rows
 
 
@@ -206,8 +215,17 @@ def _build_block_map(mask: sp.csr_matrix, block_q: int, block_kv: int):
 
 
 def _fwd_kernel(kv_index, kv_count, mask_rows, q_ref, k_ref, v_ref, mask_ref,
-                o_ref, lse_ref, m_scr, l_scr, acc_scr, *, scale, ma,
+                o_ref, lse_ref, m_scr, l_scr, acc_scr, *, scale, ma, hb,
                 has_full):
+  """Head-folded forward step: ``hb`` batch·head slices per grid step.
+
+  The mask bitmap is HEAD-INVARIANT, so folding heads into the block
+  amortizes the VPU bitmap unpack (measured at 23% of the forward kernel
+  at mesh-6 512² tiles, batch12 round 4) across the fold — the mask is
+  unpacked ONCE per (q, kv) block pair and applied as an f32 additive
+  bias (bit-identical to the select: |s| ≪ ulp(1e30) so s + NEG_INF
+  rounds to exactly NEG_INF). The fold also cuts grid steps hb×.
+  """
   j = pl.program_id(2)
   i = pl.program_id(1)
 
@@ -219,54 +237,68 @@ def _fwd_kernel(kv_index, kv_count, mask_rows, q_ref, k_ref, v_ref, mask_ref,
 
   @pl.when(j < kv_count[i])
   def _compute():
-    q = q_ref[0]  # [bq, d]
-    k = k_ref[0]  # [bkv, d]
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32) * scale  # [bq, bkv]
+    def update(bias):
+      for h in range(hb):
+        s = jax.lax.dot_general(
+            q_ref[h], k_ref[h], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale  # [bq, bkv]
+        if bias is not None:
+          s = s + bias
+        m_prev = m_scr[h][:, :1]                       # [bq, 1]
+        m_cur = jnp.max(s, axis=-1, keepdims=True)     # [bq, 1]
+        m_new = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp(m_prev - m_new)                # [bq, 1]
+        p = jnp.exp(s - m_new)                         # [bq, bkv]
+        l_new = l_scr[h][:, :1] * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc_scr[h] = acc_scr[h] * alpha + jax.lax.dot_general(
+            p.astype(v_ref.dtype), v_ref[h], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        m_scr[h] = jnp.broadcast_to(m_new, m_scr.shape[1:])
+        l_scr[h] = jnp.broadcast_to(l_new, l_scr.shape[1:])
 
-    def update(s):
-      m_prev = m_scr[:, :1]                          # [bq, 1]
-      m_cur = jnp.max(s, axis=-1, keepdims=True)     # [bq, 1]
-      m_new = jnp.maximum(m_prev, m_cur)
-      alpha = jnp.exp(m_prev - m_new)                # [bq, 1]
-      p = jnp.exp(s - m_new)                         # [bq, bkv]
-      l_new = l_scr[:, :1] * alpha + jnp.sum(p, axis=-1, keepdims=True)
-      acc_scr[:] = acc_scr[:] * alpha + jax.lax.dot_general(
-          p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
-          preferred_element_type=jnp.float32)
-      m_scr[:] = jnp.broadcast_to(m_new, m_scr.shape)
-      l_scr[:] = jnp.broadcast_to(l_new, l_scr.shape)
-
-    def masked(s):
-      mask = _unpack_mask_rows(mask_ref[0], s.shape[0], s.shape[1],
-                               s.shape[0])
-      return jnp.where(mask, s, NEG_INF)
+    def bias_of_mask():
+      mask = _unpack_mask_rows(mask_ref[0], q_ref.shape[1], k_ref.shape[1],
+                               q_ref.shape[1])
+      return jnp.where(mask, 0.0, NEG_INF).astype(jnp.float32)
 
     if not has_full:
       # Static specialization: no full blocks in this map — compile the
       # masked path only (the dead branch costs ~4-7% at the GenCast
       # configs, whose masks have no full blocks at any practical tile).
-      update(masked(s))
+      update(bias_of_mask())
     else:
       # Full-block fast path: row 0 ⇒ every entry unmasked; skip the VPU
-      # bitmap unpack + select.
+      # bitmap unpack + bias.
       full = mask_rows[i, j] == 0
 
       @pl.when(full)
       def _full():
-        update(s)
+        update(None)
 
       @pl.when(jnp.logical_not(full))
       def _partial():
-        update(masked(s))
+        update(bias_of_mask())
 
   @pl.when(j == ma - 1)
   def _finalize():
-    l = l_scr[:, :1]
-    l_safe = jnp.where(l == 0.0, 1.0, l)
-    o_ref[0] = (acc_scr[:] / l_safe).astype(o_ref.dtype)
-    lse_ref[0] = m_scr[:, :1] + jnp.log(l_safe)
+    for h in range(hb):
+      l = l_scr[h][:, :1]
+      l_safe = jnp.where(l == 0.0, 1.0, l)
+      o_ref[h] = (acc_scr[h] / l_safe).astype(o_ref.dtype)
+      lse_ref[h] = m_scr[h][:, :1] + jnp.log(l_safe)
+
+
+def _head_block(bh: int, block_q: int, block_kv: int, d: int) -> int:
+  """Largest head fold with per-operand DMA blocks ≤ 512 KB (VMEM scoped
+  limit is 16 MB; q/k/v/o each double-buffer). Env SPLASH_HB overrides."""
+  env = os.environ.get("SPLASH_HB")
+  if env:
+    return max(1, int(env))
+  limit = 512 * 1024
+  for h in (8, 4, 2):
+    if bh % h == 0 and h * max(block_q, block_kv) * d * 2 <= limit:
+      return h
+  return 1
 
 
 def _fwd(q, k, v, block_map, block_q, block_kv, scale, interpret,
@@ -292,8 +324,11 @@ def _fwd(q, k, v, block_map, block_q, block_kv, scale, interpret,
   if mask_blocks is None:
     mask_blocks = jnp.asarray(block_map["mask_blocks"])
 
-  grid = (bh, nq, ma)
-  kernel = functools.partial(_fwd_kernel, scale=scale, ma=ma,
+  hb = _head_block(bh, block_q, block_kv, d)
+  if bh % hb:
+    raise ValueError(f"SPLASH_HB={hb} must divide batch·heads={bh}")
+  grid = (bh // hb, nq, ma)
+  kernel = functools.partial(_fwd_kernel, scale=scale, ma=ma, hb=hb,
                              has_full=bool(block_map.get("has_full", True)))
   out_shape = (
       jax.ShapeDtypeStruct((bh, n_q_pad, d), q.dtype),
@@ -303,25 +338,25 @@ def _fwd(q, k, v, block_map, block_q, block_kv, scale, interpret,
       num_scalar_prefetch=3,
       grid=grid,
       in_specs=[
-          pl.BlockSpec((1, block_q, d),
+          pl.BlockSpec((hb, block_q, d),
                        lambda b, i, j, kvi, kvc, mrw: (b, i, 0)),
-          pl.BlockSpec((1, block_kv, d),
+          pl.BlockSpec((hb, block_kv, d),
                        lambda b, i, j, kvi, kvc, mrw: (b, kvi[i, j], 0)),
-          pl.BlockSpec((1, block_kv, d),
+          pl.BlockSpec((hb, block_kv, d),
                        lambda b, i, j, kvi, kvc, mrw: (b, kvi[i, j], 0)),
           pl.BlockSpec((1, block_q // 32, block_kv),
                        lambda b, i, j, kvi, kvc, mrw: (mrw[i, j], 0, 0)),
       ],
       out_specs=[
-          pl.BlockSpec((1, block_q, d),
+          pl.BlockSpec((hb, block_q, d),
                        lambda b, i, j, kvi, kvc, mrw: (b, i, 0)),
-          pl.BlockSpec((1, block_q, 1),
+          pl.BlockSpec((hb, block_q, 1),
                        lambda b, i, j, kvi, kvc, mrw: (b, i, 0)),
       ],
       scratch_shapes=[
-          pltpu.VMEM((block_q, 128), jnp.float32),
-          pltpu.VMEM((block_q, 128), jnp.float32),
-          pltpu.VMEM((block_q, d), jnp.float32),
+          pltpu.VMEM((hb, block_q, 128), jnp.float32),
+          pltpu.VMEM((hb, block_q, 128), jnp.float32),
+          pltpu.VMEM((hb, block_q, d), jnp.float32),
       ],
   )
   o, lse = pl.pallas_call(
@@ -342,8 +377,10 @@ def _fwd(q, k, v, block_map, block_q, block_kv, scale, interpret,
 
 
 def _dq_kernel(kv_index, kv_count, mask_rows, q_ref, k_ref, v_ref, mask_ref,
-               do_ref, lse_ref, delta_ref, dq_ref, dq_scr, *, scale, ma,
+               do_ref, lse_ref, delta_ref, dq_ref, dq_scr, *, scale, ma, hb,
                has_full):
+  """Head-folded like :func:`_fwd_kernel`: one mask unpack per (q, kv)
+  block pair, applied as an additive f32 bias across the ``hb`` fold."""
   j = pl.program_id(2)
   i = pl.program_id(1)
 
@@ -353,49 +390,52 @@ def _dq_kernel(kv_index, kv_count, mask_rows, q_ref, k_ref, v_ref, mask_ref,
 
   @pl.when(j < kv_count[i])
   def _compute():
-    q = q_ref[0]
-    k = k_ref[0]
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32) * scale
-    # Mask-independent: hoisted out of the full/partial branches.
-    dp = jax.lax.dot_general(
-        do_ref[0], v_ref[0], (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)         # [bq, bkv]
+    def update(bias):
+      for h in range(hb):
+        k = k_ref[h]
+        s = jax.lax.dot_general(
+            q_ref[h], k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale
+        if bias is not None:
+          s = s + bias
+        dp = jax.lax.dot_general(
+            do_ref[h], v_ref[h], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)       # [bq, bkv]
+        p = jnp.exp(s - lse_ref[h])                   # [bq, bkv]
+        ds = p * (dp - delta_ref[h]) * scale          # [bq, bkv]
+        dq_scr[h] += jax.lax.dot_general(
+            ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
 
-    def update(s):
-      p = jnp.exp(s - lse_ref[0])                   # [bq, bkv]
-      ds = p * (dp - delta_ref[0]) * scale          # [bq, bkv]
-      dq_scr[:] += jax.lax.dot_general(
-          ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
-          preferred_element_type=jnp.float32)
-
-    def masked(s):
-      mask = _unpack_mask_rows(mask_ref[0], s.shape[0], s.shape[1],
-                               s.shape[0])
-      return jnp.where(mask, s, NEG_INF)
+    def bias_of_mask():
+      mask = _unpack_mask_rows(mask_ref[0], q_ref.shape[1], k_ref.shape[1],
+                               q_ref.shape[1])
+      return jnp.where(mask, 0.0, NEG_INF).astype(jnp.float32)
 
     if not has_full:
-      update(masked(s))
+      update(bias_of_mask())
     else:
       full = mask_rows[i, j] == 0                   # see _fwd_kernel
 
       @pl.when(full)
       def _full():
-        update(s)
+        update(None)
 
       @pl.when(jnp.logical_not(full))
       def _partial():
-        update(masked(s))
+        update(bias_of_mask())
 
   @pl.when(j == ma - 1)
   def _finalize():
-    dq_ref[0] = dq_scr[:].astype(dq_ref.dtype)
+    for h in range(hb):
+      dq_ref[h] = dq_scr[h].astype(dq_ref.dtype)
 
 
 def _dkv_kernel(q_index, q_count, mask_rows_t, q_ref, k_ref, v_ref, mask_ref,
                 do_ref, lse_ref, delta_ref, dk_ref, dv_ref, dk_scr, dv_scr,
-                *, scale, mat, has_full):
+                *, scale, mat, hb, has_full):
+  """Head-folded like :func:`_fwd_kernel`: one mask unpack per (q, kv)
+  block pair, applied as an additive f32 bias across the ``hb`` fold."""
   s_idx = pl.program_id(2)
   j = pl.program_id(1)
 
@@ -406,49 +446,50 @@ def _dkv_kernel(q_index, q_count, mask_rows_t, q_ref, k_ref, v_ref, mask_ref,
 
   @pl.when(s_idx < q_count[j])
   def _compute():
-    q = q_ref[0]       # [bq, d]
-    k = k_ref[0]       # [bkv, d]
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32) * scale  # [bq, bkv]
-    do = do_ref[0]                                   # [bq, d]
-    # Mask-independent: hoisted out of the full/partial branches.
-    dp = jax.lax.dot_general(
-        do, v_ref[0], (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)           # [bq, bkv]
+    def update(bias):
+      for h in range(hb):
+        q = q_ref[h]     # [bq, d]
+        do = do_ref[h]   # [bq, d]
+        s = jax.lax.dot_general(
+            q, k_ref[h], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale  # [bq, bkv]
+        if bias is not None:
+          s = s + bias
+        dp = jax.lax.dot_general(
+            do, v_ref[h], (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)          # [bq, bkv]
+        p = jnp.exp(s - lse_ref[h])                      # [bq, bkv]
+        dv_scr[h] += jax.lax.dot_general(
+            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)          # [bkv, d]
+        ds = p * (dp - delta_ref[h]) * scale             # [bq, bkv]
+        dk_scr[h] += jax.lax.dot_general(
+            ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)          # [bkv, d]
 
-    def update(s):
-      p = jnp.exp(s - lse_ref[0])                     # [bq, bkv]
-      dv_scr[:] += jax.lax.dot_general(
-          p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
-          preferred_element_type=jnp.float32)         # [bkv, d]
-      ds = p * (dp - delta_ref[0]) * scale            # [bq, bkv]
-      dk_scr[:] += jax.lax.dot_general(
-          ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
-          preferred_element_type=jnp.float32)         # [bkv, d]
-
-    def masked(s):
-      mask = _unpack_mask_rows(mask_ref[0], s.shape[0], s.shape[1],
-                               s.shape[0])
-      return jnp.where(mask, s, NEG_INF)
+    def bias_of_mask():
+      mask = _unpack_mask_rows(mask_ref[0], q_ref.shape[1], k_ref.shape[1],
+                               q_ref.shape[1])
+      return jnp.where(mask, 0.0, NEG_INF).astype(jnp.float32)
 
     if not has_full:
-      update(masked(s))
+      update(bias_of_mask())
     else:
       full = mask_rows_t[j, s_idx] == 0               # see _fwd_kernel
 
       @pl.when(full)
       def _full():
-        update(s)
+        update(None)
 
       @pl.when(jnp.logical_not(full))
       def _partial():
-        update(masked(s))
+        update(bias_of_mask())
 
   @pl.when(s_idx == mat - 1)
   def _finalize():
-    dk_ref[0] = dk_scr[:].astype(dk_ref.dtype)
-    dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
+    for h in range(hb):
+      dk_ref[h] = dk_scr[h].astype(dk_ref.dtype)
+      dv_ref[h] = dv_scr[h].astype(dv_ref.dtype)
 
 
 def _repad(x, n, n_pad):
@@ -503,30 +544,34 @@ def _bwd(q, k, v, o, lse, do, block_map, block_q, block_kv, scale, interpret,
     mask_blocks = jnp.asarray(block_map["mask_blocks"])
 
   has_full = bool(block_map.get("has_full", True))
+  hb = _head_block(bh, block_q, block_kv, d)
+  if bh % hb:
+    raise ValueError(f"SPLASH_HB={hb} must divide batch·heads={bh}")
   dq = pl.pallas_call(
-      functools.partial(_dq_kernel, scale=scale, ma=ma, has_full=has_full),
+      functools.partial(_dq_kernel, scale=scale, ma=ma, hb=hb,
+                        has_full=has_full),
       grid_spec=pltpu.PrefetchScalarGridSpec(
           num_scalar_prefetch=3,
-          grid=(bh, nq, ma),
+          grid=(bh // hb, nq, ma),
           in_specs=[
-              pl.BlockSpec((1, block_q, d),
+              pl.BlockSpec((hb, block_q, d),
                            lambda b, i, j, kvi, kvc, mrw: (b, i, 0)),
-              pl.BlockSpec((1, block_kv, d),
+              pl.BlockSpec((hb, block_kv, d),
                            lambda b, i, j, kvi, kvc, mrw: (b, kvi[i, j], 0)),
-              pl.BlockSpec((1, block_kv, d),
+              pl.BlockSpec((hb, block_kv, d),
                            lambda b, i, j, kvi, kvc, mrw: (b, kvi[i, j], 0)),
               pl.BlockSpec((1, block_q // 32, block_kv),
                            lambda b, i, j, kvi, kvc, mrw: (mrw[i, j], 0, 0)),
-              pl.BlockSpec((1, block_q, d),
+              pl.BlockSpec((hb, block_q, d),
                            lambda b, i, j, kvi, kvc, mrw: (b, i, 0)),
-              pl.BlockSpec((1, block_q, 1),
+              pl.BlockSpec((hb, block_q, 1),
                            lambda b, i, j, kvi, kvc, mrw: (b, i, 0)),
-              pl.BlockSpec((1, block_q, 1),
+              pl.BlockSpec((hb, block_q, 1),
                            lambda b, i, j, kvi, kvc, mrw: (b, i, 0)),
           ],
-          out_specs=pl.BlockSpec((1, block_q, d),
+          out_specs=pl.BlockSpec((hb, block_q, d),
                                  lambda b, i, j, kvi, kvc, mrw: (b, i, 0)),
-          scratch_shapes=[pltpu.VMEM((block_q, d), jnp.float32)],
+          scratch_shapes=[pltpu.VMEM((hb, block_q, d), jnp.float32)],
       ),
       out_shape=jax.ShapeDtypeStruct((bh, n_q_pad, d), q.dtype),
       compiler_params=pltpu.CompilerParams(
@@ -548,36 +593,36 @@ def _bwd(q, k, v, o, lse, do, block_map, block_q, block_kv, scale, interpret,
     mask_blocks_t = jnp.asarray(block_map["mask_blocks_t"])
 
   dk, dv = pl.pallas_call(
-      functools.partial(_dkv_kernel, scale=scale, mat=mat,
+      functools.partial(_dkv_kernel, scale=scale, mat=mat, hb=hb,
                         has_full=has_full),
       grid_spec=pltpu.PrefetchScalarGridSpec(
           num_scalar_prefetch=3,
-          grid=(bh, nkv, mat),
+          grid=(bh // hb, nkv, mat),
           in_specs=[
-              pl.BlockSpec((1, block_q, d),
+              pl.BlockSpec((hb, block_q, d),
                            lambda b, j, s, qi, qc, mrwt: (b, qi[j, s], 0)),
-              pl.BlockSpec((1, block_kv, d),
+              pl.BlockSpec((hb, block_kv, d),
                            lambda b, j, s, qi, qc, mrwt: (b, j, 0)),
-              pl.BlockSpec((1, block_kv, d),
+              pl.BlockSpec((hb, block_kv, d),
                            lambda b, j, s, qi, qc, mrwt: (b, j, 0)),
               pl.BlockSpec((1, block_q // 32, block_kv),
                            lambda b, j, s, qi, qc, mrwt: (mrwt[j, s], 0, 0)),
-              pl.BlockSpec((1, block_q, d),
+              pl.BlockSpec((hb, block_q, d),
                            lambda b, j, s, qi, qc, mrwt: (b, qi[j, s], 0)),
-              pl.BlockSpec((1, block_q, 1),
+              pl.BlockSpec((hb, block_q, 1),
                            lambda b, j, s, qi, qc, mrwt: (b, qi[j, s], 0)),
-              pl.BlockSpec((1, block_q, 1),
+              pl.BlockSpec((hb, block_q, 1),
                            lambda b, j, s, qi, qc, mrwt: (b, qi[j, s], 0)),
           ],
           out_specs=[
-              pl.BlockSpec((1, block_kv, d),
+              pl.BlockSpec((hb, block_kv, d),
                            lambda b, j, s, qi, qc, mrwt: (b, j, 0)),
-              pl.BlockSpec((1, block_kv, d),
+              pl.BlockSpec((hb, block_kv, d),
                            lambda b, j, s, qi, qc, mrwt: (b, j, 0)),
           ],
           scratch_shapes=[
-              pltpu.VMEM((block_kv, d), jnp.float32),
-              pltpu.VMEM((block_kv, d), jnp.float32),
+              pltpu.VMEM((hb, block_kv, d), jnp.float32),
+              pltpu.VMEM((hb, block_kv, d), jnp.float32),
           ],
       ),
       out_shape=(
@@ -786,11 +831,12 @@ class SequenceParallelAttention:
                             qc[0], mrwt[0], dims, scale, interpret)
 
     # check_vma off: pallas_call out_shapes don't carry vma metadata.
+    static_specs = tuple(
+        P() if name in self._REPLICATED else P(axis)
+        for name in self._STATIC_NAMES)
     sharded = shard_map(
         local_fn, mesh=self._mesh,
-        in_specs=(P(None, axis, None), P(), P(),
-                  P(axis), P(axis), P(axis), P(), P(axis), P(axis),
-                  P(axis)),
+        in_specs=(P(None, axis, None), P(), P()) + static_specs,
         out_specs=P(None, axis, None),
         check_vma=False)
 

@@ -134,7 +134,12 @@ class Autoregressive(WrapperPredictor):
     host memory during the step's backward instead of HBM. Composes
     with loss_carry_offload (the AR carries and the processor carries
     are independent residual families). Requires
-    ``gradient_checkpointing``."""
+    ``gradient_checkpointing`` AND multi-step targets (the policy rides
+    the per-AR-step checkpoint, which only exists for num_steps > 1 —
+    1-step losses raise rather than silently skipping the offload), and
+    only has an effect when the inner model's processor remat block path
+    emits the names (deep_typed_graph_net ``remat_processor`` with
+    ``remat_steps`` < total MP steps)."""
     super().__init__(predictor)
     if loss_scan_block < 1:
       raise ValueError(f"loss_scan_block must be >= 1, got {loss_scan_block}")
@@ -254,6 +259,7 @@ class Autoregressive(WrapperPredictor):
 
   def loss(self, params, rng, inputs, targets, forcings, **kwargs):
     if targets.sizes["time"] == 1:
+      self._check_processor_offload_applies(1)
       # Delegate directly; no AR feedback needed
       # (reference: autoregressive.py:231-236). NB an outer jax.checkpoint
       # here was measured to INCREASE peak HBM at 0.25° (26.7 vs 20.6 GB) —
@@ -269,6 +275,34 @@ class Autoregressive(WrapperPredictor):
                            **kwargs):
     return self._loss_scan(params, rng, inputs, targets, forcings, **kwargs)
 
+  def _check_processor_offload_applies(self, num_steps):
+    """The processor-carry offload policy rides the per-AR-step checkpoint,
+    which only exists for num_steps > 1 — fail at trace time rather than
+    silently running the plain path (the silent-fallthrough class the
+    loss_scan_block divisibility check exists for: the miss would surface
+    only as an OOM after a long remote compile)."""
+    if self._loss_offload_processor_carries and num_steps == 1:
+      raise ValueError(
+          "loss_offload_processor_carries has no effect for 1-step losses "
+          "(there is no per-AR-step checkpoint to attach the offload "
+          "policy to) — disable it, or train with multiple AR steps")
+
+  def _finalize(self, losses, diagnostics, pred_ys, targets,
+                want_predictions):
+    """Averages per-timestep losses over time (reference:
+    autoregressive.py:303-312) and rebuilds the stacked-prediction
+    FieldSet from the per-step scan/unroll outputs."""
+    loss = jnp.mean(losses, axis=0)
+    diagnostics = {k: jnp.mean(v, axis=0) for k, v in diagnostics.items()}
+    if not want_predictions:
+      return (loss, diagnostics), None
+    fields = {}
+    for name in targets.var_names:
+      tf = targets[name]
+      t_axis = tf.dims.index("time")
+      fields[name] = Field(jnp.moveaxis(pred_ys[name], 0, t_axis), tf.dims)
+    return (loss, diagnostics), FieldSet(fields, coords=targets.coords)
+
   def _loss_scan(self, params, rng, inputs, targets, forcings,
                  want_predictions=True, **kwargs):
     # NB: unlike the inference rollouts above, the loss scan must NOT hoist
@@ -282,6 +316,7 @@ class Autoregressive(WrapperPredictor):
         inputs, targets, forcings)
     _validate(targets, forcings)
     num_steps = targets.sizes["time"]
+    self._check_processor_offload_applies(num_steps)
 
     rng, noise_rng = jax.random.split(rng)
     if self._noise_level:
@@ -369,16 +404,8 @@ class Autoregressive(WrapperPredictor):
       inputs_host = jax.device_put(inputs, jax.memory.Space.Host)
       _, (losses, diagnostics, pred_ys) = jax.lax.scan(
           host_body, inputs_host, (rngs, jnp.arange(num_steps)), unroll=1)
-      loss = jnp.mean(losses, axis=0)
-      diagnostics = {kk: jnp.mean(v, axis=0) for kk, v in diagnostics.items()}
-      if not want_predictions:
-        return (loss, diagnostics), None
-      fields = {}
-      for name in targets.var_names:
-        tf = targets[name]
-        t_axis = tf.dims.index("time")
-        fields[name] = Field(jnp.moveaxis(pred_ys[name], 0, t_axis), tf.dims)
-      return (loss, diagnostics), FieldSet(fields, coords=targets.coords)
+      return self._finalize(losses, diagnostics, pred_ys, targets,
+                            want_predictions)
     if (self._loss_carry_offload and num_steps > 1
         and num_steps <= self._loss_scan_block):
       # With loss_scan_block >= num_steps there is only one block, so the
@@ -408,16 +435,8 @@ class Autoregressive(WrapperPredictor):
 
       losses, diagnostics, pred_ys = self._unrolled_offload_loss(
           step, inputs, xs_of, num_steps)
-      loss = jnp.mean(losses, axis=0)
-      diagnostics = {k: jnp.mean(v, axis=0) for k, v in diagnostics.items()}
-      if not want_predictions:
-        return (loss, diagnostics), None
-      fields = {}
-      for name in targets.var_names:
-        tf = targets[name]
-        t_axis = tf.dims.index("time")
-        fields[name] = Field(jnp.moveaxis(pred_ys[name], 0, t_axis), tf.dims)
-      return (loss, diagnostics), FieldSet(fields, coords=targets.coords)
+      return self._finalize(losses, diagnostics, pred_ys, targets,
+                            want_predictions)
     xs = (rngs, _to_scan_xs(targets_nc), _to_scan_xs(forcings))
     k = self._loss_scan_block
     if k > 1 and num_steps > k and num_steps % k:
@@ -468,20 +487,8 @@ class Autoregressive(WrapperPredictor):
       _, (losses, diagnostics, pred_ys) = jax.lax.scan(
           step, inputs, xs, unroll=unroll)
 
-    # Average per-timestep losses over time
-    # (reference: autoregressive.py:303-312).
-    loss = jnp.mean(losses, axis=0)
-    diagnostics = {k: jnp.mean(v, axis=0) for k, v in diagnostics.items()}
-
-    if not want_predictions:
-      return (loss, diagnostics), None
-    fields = {}
-    for name in targets.var_names:
-      tf = targets[name]
-      t_axis = tf.dims.index("time")
-      fields[name] = Field(jnp.moveaxis(pred_ys[name], 0, t_axis), tf.dims)
-    predictions = FieldSet(fields, coords=targets.coords)
-    return (loss, diagnostics), predictions
+    return self._finalize(losses, diagnostics, pred_ys, targets,
+                          want_predictions)
 
   @staticmethod
   def _unrolled_offload_loss(step, inputs, xs_of, num_steps):

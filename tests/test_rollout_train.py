@@ -502,6 +502,17 @@ def test_loss_offload_processor_carries_invariance():
   with pytest.raises(ValueError, match="gradient_checkpointing"):
     Autoregressive(p0._predictor, gradient_checkpointing=False,
                    loss_offload_processor_carries=True)
+  # 1-step losses have no per-AR-step checkpoint to attach the offload
+  # policy to — it must fail fast instead of silently running the plain
+  # path (regression: the silent fallthrough surfaced only as an OOM).
+  with pytest.raises(ValueError, match="no effect for 1-step"):
+    build(True).loss(params, rng, inputs,
+                     targets.isel(time=slice(0, 1)),
+                     forcings.isel(time=slice(0, 1)))
+  with pytest.raises(ValueError, match="no effect for 1-step"):
+    build(True).loss_and_predictions(params, rng, inputs,
+                                     targets.isel(time=slice(0, 1)),
+                                     forcings.isel(time=slice(0, 1)))
 
 
 def test_loss_carry_offload_block_invariance():

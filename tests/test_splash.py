@@ -47,6 +47,40 @@ def test_forward_matches_dense(n, bandwidth, bq, bkv):
                              rtol=2e-4, atol=2e-4)
 
 
+def test_head_fold_sizes_match(monkeypatch):
+  """The head-folded forward (hb batch·head slices per grid step, one mask
+  unpack per block pair) must equal the unfolded kernel for every fold."""
+  n, bandwidth = 256, 32
+  mask = make_banded_mask(n, bandwidth, seed=2)
+  rng = jax.random.PRNGKey(3)
+  kq, kk, kv_ = jax.random.split(rng, 3)
+  shape = (2, n, 4, 128)  # bh = 8
+  q = jax.random.normal(kq, shape, jnp.float32)
+  k = jax.random.normal(kk, shape, jnp.float32)
+  v = jax.random.normal(kv_, shape, jnp.float32)
+  outs, grads = [], []
+  for hb in (1, 2, 4, 8):
+    monkeypatch.setenv("SPLASH_HB", str(hb))
+    attn = splash.BlockSparseAttention.from_mask(
+        mask, block_q=128, block_kv=128, interpret=True)
+    outs.append(np.asarray(attn(q, k, v)))
+    loss = lambda q, k, v: jnp.sum(jnp.sin(attn(q, k, v)))
+    grads.append(jax.grad(loss, argnums=(0, 1, 2))(q, k, v))
+  for o, g in zip(outs[1:], grads[1:]):
+    np.testing.assert_allclose(o, outs[0], rtol=1e-6, atol=1e-6)
+    for a, b, name in zip(g, grads[0], "qkv"):
+      np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                 rtol=1e-5, atol=1e-5,
+                                 err_msg=f"d{name} fold mismatch")
+  monkeypatch.setenv("SPLASH_HB", "3")  # does not divide bh=8
+  with pytest.raises(ValueError, match="must divide"):
+    splash.BlockSparseAttention.from_mask(
+        mask, block_q=128, block_kv=128, interpret=True)(q, k, v)
+  # Auto fold at the GenCast shape (bh=4, 512² tiles, d=128) is 4.
+  monkeypatch.delenv("SPLASH_HB")
+  assert splash._head_block(4, 512, 512, 128) == 4
+
+
 def test_gradients_match_dense():
   n, bandwidth = 256, 32
   mask = make_banded_mask(n, bandwidth, seed=1)
@@ -236,6 +270,60 @@ def test_block_map_sparsity():
                                                block_kv=128)
   # Bandwidth 64, blocks 128 → ≤ 3 active kv blocks per q block of 8 total.
   assert attn.fraction_visited <= 3 / 8 + 1e-6
+
+
+def _np_unpack_rows(packed, rows, group):
+  """Numpy inverse of splash._pack_mask_bits_rows (row r of a group lives
+  at word r % gw, bit r // gw)."""
+  gw = group // 32
+  lead, C = packed.shape[:-2], packed.shape[-1]
+  p = packed.reshape(*lead, rows // group, 1, gw, C)
+  b = np.arange(32, dtype=np.uint32).reshape(1, 32, 1, 1)
+  bits = (p >> b) & 1                     # [..., ng, 32, gw, C]
+  return bits.reshape(*lead, rows, C).astype(bool)
+
+
+def test_mask_row_group_divides_rows():
+  """The row group must divide rows (pack contract) AND rows//2 (so the
+  fused-edge backward can slice sub-chunks) for every 64-multiple —
+  regression: 640 used to return 256, which divides neither."""
+  for rows in range(64, 1344, 64):
+    g = splash.mask_row_group(rows)
+    assert g % 32 == 0 and g <= 256, (rows, g)
+    assert rows % g == 0 and (rows // 2) % g == 0, (rows, g)
+  # Power-of-two values unchanged from the original min(256, rows//2).
+  assert [splash.mask_row_group(r) for r in (64, 128, 256, 512, 1024)] == \
+      [32, 64, 128, 256, 256]
+  # Non-64-multiples pack as one whole group.
+  assert splash.mask_row_group(96) == 96
+
+
+@pytest.mark.parametrize("rows", [64, 96, 128, 512, 576, 640, 704])
+def test_pack_mask_bits_rows_roundtrip(rows):
+  rng = np.random.RandomState(rows)
+  mask = rng.rand(3, rows, 64) > 0.5
+  g = splash.mask_row_group(rows)
+  packed = splash._pack_mask_bits_rows(mask, g)
+  assert packed.shape == (3, rows // 32, 64) and packed.dtype == np.uint32
+  np.testing.assert_array_equal(_np_unpack_rows(packed, rows, g), mask)
+
+
+def test_blocked_segment_sum_chunk_640():
+  """chunk_edges=640 (a 64-multiple that is not a power of two) must build
+  packed masks and aggregate correctly — regression for mask_row_group."""
+  from graphcast_tpu.ops import pallas_mp
+  rng = np.random.RandomState(0)
+  n, e = 300, 2000
+  receivers = np.sort(rng.randint(0, n, size=e).astype(np.int32))
+  agg = pallas_mp.BlockedSegmentSum(receivers, n, block_nodes=64,
+                                    chunk_edges=640, interpret=True)
+  mask, mask_t = agg.onehot_masks()
+  assert mask_t.shape[1] == 640 // 32
+  msgs = rng.randn(e, 128).astype(np.float32)
+  out = np.asarray(agg(jnp.asarray(msgs)))
+  want = np.zeros((n, 128), np.float32)
+  np.add.at(want, receivers, msgs)
+  np.testing.assert_allclose(out, want, rtol=2e-5, atol=2e-4)
 
 
 def test_sequence_parallel_matches_single_device():

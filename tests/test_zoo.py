@@ -51,3 +51,25 @@ def test_gencast_preset_builds_predictor():
   predictor = zoo.gencast_mini().build()
   from graphcast_tpu.models.gencast import GenCast
   assert isinstance(predictor, GenCast)
+
+
+def test_gencast_custom_matches_presets_and_forwards_build_kwargs():
+  """gencast_custom is the single source of truth the benches build from:
+  at the released sizes it must equal the named presets, and build()
+  must forward execution knobs to GenCast."""
+  for preset_fn, (res, mesh) in [(zoo.gencast_0p25deg, (0.25, 6)),
+                                 (zoo.gencast_1p0deg, (1.0, 5)),
+                                 (zoo.gencast_mini, (1.0, 4))]:
+    preset = preset_fn()
+    custom = zoo.gencast_custom(res, mesh)
+    assert custom.denoiser_architecture_config == (
+        preset.denoiser_architecture_config)
+    assert custom.sampler_config == preset.sampler_config
+    assert custom.noise_config == preset.noise_config
+    assert custom.noise_encoder_config == preset.noise_encoder_config
+    assert custom.task_config == preset.task_config
+  predictor = zoo.gencast_custom(1.0, 4).build(
+      decode_chunks=2, encode_chunks=2, fused_aggregation=False)
+  arch = predictor._denoiser._architecture
+  assert arch._decode_chunks == 2
+  assert arch._encode_chunks == 2

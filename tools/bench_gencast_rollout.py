@@ -44,25 +44,12 @@ def main():
 
   from graphcast_tpu import rollout
   from graphcast_tpu.data import synthetic
-  from graphcast_tpu.models import gencast
-  from graphcast_tpu.models.denoiser import (
-      DenoiserArchitectureConfig, NoiseEncoderConfig)
-  from graphcast_tpu.models.sparse_transformer import SparseTransformerConfig
+  from graphcast_tpu.models import gencast, zoo
   from graphcast_tpu.wrappers import InputsAndResiduals, NaNCleaner
 
   task = gencast.TASK
-  st_cfg = SparseTransformerConfig(
-      attention_k_hop=16, d_model=512, num_layers=16, num_heads=4,
-      attention_type="splash_mha")
-  arch_cfg = DenoiserArchitectureConfig(
-      sparse_transformer_config=st_cfg, mesh_size=mesh_size, latent_size=512,
-      hidden_layers=1)
-  predictor = gencast.GenCast(
-      task_config=task,
-      denoiser_architecture_config=arch_cfg,
-      sampler_config=gencast.SamplerConfig(),
-      noise_config=gencast.NoiseConfig(),
-      noise_encoder_config=NoiseEncoderConfig())
+  # The released GenCast architecture, from the single source of truth.
+  predictor = zoo.gencast_custom(resolution, mesh_size).build()
   stddev, mean, diffs = synthetic.make_norm_stats(task)
   predictor = NaNCleaner(
       InputsAndResiduals(predictor, stddev_by_level=stddev,

@@ -26,27 +26,15 @@ def main():
 
   from graphcast_tpu import train
   from graphcast_tpu.data import synthetic
-  from graphcast_tpu.models import gencast
-  from graphcast_tpu.models.denoiser import (
-      DenoiserArchitectureConfig, NoiseEncoderConfig)
-  from graphcast_tpu.models.sparse_transformer import SparseTransformerConfig
+  from graphcast_tpu.models import gencast, zoo
   from graphcast_tpu.wrappers import InputsAndResiduals, NaNCleaner
 
   resolution = float(sys.argv[1]) if len(sys.argv) > 1 else 1.0
   mesh_size = int(sys.argv[2]) if len(sys.argv) > 2 else 5
   chunks = 32 if resolution <= 0.5 else 1
   task = gencast.TASK
-  st_cfg = SparseTransformerConfig(
-      attention_k_hop=16, d_model=512, num_layers=16, num_heads=4,
-      attention_type="splash_mha")
-  predictor = gencast.GenCast(
-      task_config=task,
-      denoiser_architecture_config=DenoiserArchitectureConfig(
-          sparse_transformer_config=st_cfg, mesh_size=mesh_size,
-          latent_size=512, hidden_layers=1),
-      sampler_config=gencast.SamplerConfig(),
-      noise_config=gencast.NoiseConfig(),
-      noise_encoder_config=NoiseEncoderConfig(),
+  # The released GenCast architecture, from the single source of truth.
+  predictor = zoo.gencast_custom(resolution, mesh_size).build(
       decode_chunks=chunks, encode_chunks=chunks,
       fused_aggregation=False)
   stddev, mean, diffs = synthetic.make_norm_stats(task)

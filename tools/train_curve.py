@@ -60,27 +60,18 @@ def _build_graphcast():
 
 def _build_gencast():
   from graphcast_tpu.data import synthetic
-  from graphcast_tpu.models import gencast
-  from graphcast_tpu.models.denoiser import (
-      DenoiserArchitectureConfig, NoiseEncoderConfig)
-  from graphcast_tpu.models.sparse_transformer import SparseTransformerConfig
+  from graphcast_tpu.models import gencast, zoo
   from graphcast_tpu.wrappers import InputsAndResiduals, NaNCleaner
 
   task = gencast.TASK
-  st_cfg = SparseTransformerConfig(
-      attention_k_hop=16, d_model=_env_int("CURVE_LATENT", 512),
-      num_layers=_env_int("CURVE_LAYERS", 16), num_heads=4,
-      attention_type="splash_mha")
-  arch_cfg = DenoiserArchitectureConfig(
-      sparse_transformer_config=st_cfg,
+  # The released GenCast architecture (zoo), with env-size overrides.
+  predictor = zoo.gencast_custom(
+      resolution=float(os.environ.get("CURVE_RESOLUTION", "1.0")),
       mesh_size=_env_int("CURVE_MESH_SIZE", 5),
-      latent_size=_env_int("CURVE_LATENT", 512), hidden_layers=1)
-  predictor = gencast.GenCast(
-      task_config=task, denoiser_architecture_config=arch_cfg,
-      sampler_config=gencast.SamplerConfig(),
-      noise_config=gencast.NoiseConfig(),
-      noise_encoder_config=NoiseEncoderConfig(),
-      fused_aggregation=False)
+      d_model=_env_int("CURVE_LATENT", 512),
+      num_layers=_env_int("CURVE_LAYERS", 16),
+      latent_size=_env_int("CURVE_LATENT", 512),
+  ).build(fused_aggregation=False)
   stddev, mean, diffs = synthetic.make_norm_stats(task)
   predictor = NaNCleaner(
       InputsAndResiduals(predictor, stddev_by_level=stddev,
