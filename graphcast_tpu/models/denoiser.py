@@ -247,6 +247,13 @@ class DenoiserArchitecture:
       # models/graphcast.py:_host_statics.
       statics["g2m_agg_mask"], statics["g2m_agg_mask_t"] = (
           s.onehot_masks())
+      import os as _os
+      if _os.environ.get("GC_G2M_GROUPED", "0") == "1":
+        # Grouped two-stage sender gather — see models/graphcast.py.
+        from graphcast_tpu.ops.gather import layout_sender_groups
+        gidx, lidx = layout_sender_groups(statics["g2m_senders"])
+        statics["g2m_sender_groups"] = gidx
+        statics["g2m_local_senders"] = lidx
     elif self._g2m_plan is not None:
       plan = self._g2m_plan
       statics["g2m_senders"] = plan.pad_edge_array(statics["g2m_senders"])
@@ -575,7 +582,16 @@ class DenoiserArchitecture:
     pee = p["encoder_edges_grid2mesh"]["mlp"]
 
     from graphcast_tpu.models.graphcast import _agg_masks
-    gs = (grid_emb[:, 0] @ ws)[statics["g2m_senders"]]
+    if statics.get("g2m_sender_groups") is not None:
+      # Grouped two-stage gather — see models/graphcast.py and
+      # ops/gather.py (exact: same rows either way).
+      from graphcast_tpu.ops.gather import gather_rows_grouped
+      L = statics["g2m_senders"].shape[0]
+      gs = gather_rows_grouped(
+          grid_emb[:, 0] @ ws, statics["g2m_sender_groups"],
+          statics["g2m_local_senders"])[:L]
+    else:
+      gs = (grid_emb[:, 0] @ ws)[statics["g2m_senders"]]
     gr_pad = self._g2m_fused.pad_nodes(mesh_emb[:, 0] @ wr)
     # Raw edge features go straight into the kernel; the embed MLP +
     # parameter-free LN run per chunk in VMEM, so no [1.6M, latent]

@@ -251,6 +251,15 @@ class GraphCast(Predictor):
       statics["g2m_receivers"] = s.padded_receivers
       statics["g2m_edge_features"] = s.pad_edges(
           statics["g2m_edge_features"])
+      import os as _os
+      if _os.environ.get("GC_G2M_GROUPED", "0") == "1":
+        # Grouped two-stage sender gather (ops/gather.py): senders run
+        # consecutively (lat-major grid), so whole 8-row groups cover the
+        # gathered rows with ~7× fewer big-table fetches.
+        from graphcast_tpu.ops.gather import layout_sender_groups
+        gidx, lidx = layout_sender_groups(statics["g2m_senders"])
+        statics["g2m_sender_groups"] = gidx
+        statics["g2m_local_senders"] = lidx
     elif self._g2m_plan is not None:
       plan = self._g2m_plan
       statics["g2m_senders"] = plan.pad_edge_array(statics["g2m_senders"])
@@ -654,7 +663,17 @@ class GraphCast(Predictor):
     pe = p["processor_0_edges_grid2mesh"]
     w0 = pe["mlp"]["linear_0"]["w"].astype(dtype)
     ws, wr = w0[latent:2 * latent], w0[2 * latent:]
-    gs = (grid_emb[:, 0] @ ws)[statics["g2m_senders"]]
+    if statics.get("g2m_sender_groups") is not None:
+      # Grouped two-stage gather: ~7× fewer big-table row fetches (the
+      # per-row cost scales with table size; see ops/gather.py). Exact:
+      # same rows, padding slots dropped by the kernel masks either way.
+      from graphcast_tpu.ops.gather import gather_rows_grouped
+      L = statics["g2m_senders"].shape[0]
+      gs = gather_rows_grouped(
+          grid_emb[:, 0] @ ws, statics["g2m_sender_groups"],
+          statics["g2m_local_senders"])[:L]
+    else:
+      gs = (grid_emb[:, 0] @ ws)[statics["g2m_senders"]]
     gr_pad = self._g2m_fused.pad_nodes(mesh_emb[:, 0] @ wr)
     agg = self._g2m_fused(
         const[:, 0].astype(dtype), gs, gr_pad, None, None,

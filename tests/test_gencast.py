@@ -328,3 +328,47 @@ def test_gencast_sequence_parallel_matches_unsharded():
     np.testing.assert_allclose(
         np.asarray(flat_sp[path]), np.asarray(val), rtol=2e-4, atol=2e-5,
         err_msg=f"grad mismatch at {jax.tree_util.keystr(path)}")
+
+
+def test_denoiser_grouped_sender_gather_matches(monkeypatch):
+  """GC_G2M_GROUPED=1 (grouped sender gather in the denoiser's fused g2m
+  encode) must be BIT-equal to the direct gather."""
+  def build():
+    return gencast.GenCast(
+        task_config=TINY_TASK,
+        denoiser_architecture_config=DenoiserArchitectureConfig(
+            sparse_transformer_config=SparseTransformerConfig(
+                attention_k_hop=2, d_model=16, num_layers=2, num_heads=2,
+                attention_type="mha", ffw_hidden=32),
+            mesh_size=1, latent_size=16, hidden_layers=1),
+        sampler_config=gencast.SamplerConfig(num_noise_levels=4),
+        noise_config=gencast.NoiseConfig(),
+        noise_encoder_config=NoiseEncoderConfig(
+            num_frequencies=8, output_sizes=(16, 8)),
+        cache_dir="", interpret_attention=True, fused_aggregation=True)
+
+  inputs, targets, forcings = make_batch(batch=1)
+  rng = jax.random.PRNGKey(0)
+  plain = build()
+  params = plain.init(rng, inputs, targets, forcings)
+  s_plain = plain(params, rng, inputs, targets, forcings)
+
+  monkeypatch.setenv("GC_G2M_GROUPED", "1")
+  grouped = build()
+  learned = dict(params)
+  learned["architecture"] = {
+      k: v for k, v in params["architecture"].items()
+      if k != "graph_statics"}
+  params_g = grouped.init(rng, inputs, targets, forcings)
+  assert (params_g["architecture"]["graph_statics"]
+          .get("g2m_sender_groups") is not None)
+  params_g = {**params_g, "noise_encoder": params["noise_encoder"],
+              "architecture": {**learned["architecture"],
+                               "graph_statics":
+                                   params_g["architecture"]
+                                   ["graph_statics"]}}
+  s_grouped = grouped(params_g, rng, inputs, targets, forcings)
+  for n in targets.var_names:
+    np.testing.assert_array_equal(
+        np.asarray(s_grouped.data(n)), np.asarray(s_plain.data(n)),
+        err_msg=n)
