@@ -28,10 +28,16 @@ import numpy as np
 
 
 def _env_flag(name: str) -> bool:
-  """Boolean env knob: unset, "", and "0" are all off (plain
-  os.environ.get truthiness treats the string "0" as ON — a measured
-  footgun: BENCH_GENCAST=0 used to make the gencast line primary)."""
-  return os.environ.get(name, "0") not in ("", "0")
+  """Boolean env knob: only "1"/"true"/"yes" (case-insensitive) are ON;
+  unset/""/"0"/"false"/"no"/"off" are OFF; anything else raises (silently
+  treating "false" as ON was a measured footgun — as was the earlier
+  os.environ truthiness treating "0" as ON)."""
+  val = os.environ.get(name, "0").strip().lower()
+  if val in ("1", "true", "yes", "on"):
+    return True
+  if val in ("", "0", "false", "no", "off"):
+    return False
+  raise ValueError(f"unrecognized boolean value {name}={val!r}")
 
 
 def _build(resolution, mesh_size, latent, msg_steps, task,

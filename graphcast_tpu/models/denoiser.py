@@ -247,8 +247,8 @@ class DenoiserArchitecture:
       # models/graphcast.py:_host_statics.
       statics["g2m_agg_mask"], statics["g2m_agg_mask_t"] = (
           s.onehot_masks())
-      import os as _os
-      if _os.environ.get("GC_G2M_GROUPED", "0") == "1":
+      from graphcast_tpu.env_flags import env_flag
+      if env_flag("GC_G2M_GROUPED"):
         # Grouped two-stage sender gather — see models/graphcast.py.
         from graphcast_tpu.ops.gather import layout_sender_groups
         gidx, lidx = layout_sender_groups(statics["g2m_senders"])

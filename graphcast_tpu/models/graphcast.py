@@ -251,8 +251,8 @@ class GraphCast(Predictor):
       statics["g2m_receivers"] = s.padded_receivers
       statics["g2m_edge_features"] = s.pad_edges(
           statics["g2m_edge_features"])
-      import os as _os
-      if _os.environ.get("GC_G2M_GROUPED", "0") == "1":
+      from graphcast_tpu.env_flags import env_flag
+      if env_flag("GC_G2M_GROUPED"):
         # Grouped two-stage sender gather (ops/gather.py): senders run
         # consecutively (lat-major grid), so whole 8-row groups cover the
         # gathered rows with ~7× fewer big-table fetches.

@@ -517,8 +517,8 @@ class FusedEdgeStep:
     Default: $GC_PIPELINED_EDGE, off. Kept as a measured-dead lever with
     tests. The backward is unchanged."""
     if pipelined is None:
-      import os
-      pipelined = os.environ.get("GC_PIPELINED_EDGE", "0") == "1"
+      from graphcast_tpu.env_flags import env_flag
+      pipelined = env_flag("GC_PIPELINED_EDGE")
     self.pipelined = bool(pipelined)
     self.ln_stats = _ln_stats_option(ln_stats)
     if not summer.padded_input:

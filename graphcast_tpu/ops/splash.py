@@ -288,15 +288,18 @@ def _fwd_kernel(kv_index, kv_count, mask_rows, q_ref, k_ref, v_ref, mask_ref,
       lse_ref[h] = m_scr[h][:, :1] + jnp.log(l_safe)
 
 
-def _head_block(bh: int, block_q: int, block_kv: int, d: int) -> int:
+def _head_block(bh: int, block_q: int, block_kv: int, d: int,
+                itemsize: int = 2) -> int:
   """Largest head fold with per-operand DMA blocks ≤ 512 KB (VMEM scoped
-  limit is 16 MB; q/k/v/o each double-buffer). Env SPLASH_HB overrides."""
+  limit is 16 MB; q/k/v/o each double-buffer). ``itemsize`` is the q/k/v
+  element size in bytes — f32 operands halve the affordable fold. Env
+  SPLASH_HB overrides."""
   env = os.environ.get("SPLASH_HB")
   if env:
     return max(1, int(env))
   limit = 512 * 1024
   for h in (8, 4, 2):
-    if bh % h == 0 and h * max(block_q, block_kv) * d * 2 <= limit:
+    if bh % h == 0 and h * max(block_q, block_kv) * d * itemsize <= limit:
       return h
   return 1
 
@@ -324,7 +327,7 @@ def _fwd(q, k, v, block_map, block_q, block_kv, scale, interpret,
   if mask_blocks is None:
     mask_blocks = jnp.asarray(block_map["mask_blocks"])
 
-  hb = _head_block(bh, block_q, block_kv, d)
+  hb = _head_block(bh, block_q, block_kv, d, q.dtype.itemsize)
   if bh % hb:
     raise ValueError(f"SPLASH_HB={hb} must divide batch·heads={bh}")
   grid = (bh // hb, nq, ma)
@@ -544,7 +547,7 @@ def _bwd(q, k, v, o, lse, do, block_map, block_q, block_kv, scale, interpret,
     mask_blocks = jnp.asarray(block_map["mask_blocks"])
 
   has_full = bool(block_map.get("has_full", True))
-  hb = _head_block(bh, block_q, block_kv, d)
+  hb = _head_block(bh, block_q, block_kv, d, q.dtype.itemsize)
   if bh % hb:
     raise ValueError(f"SPLASH_HB={hb} must divide batch·heads={bh}")
   dq = pl.pallas_call(

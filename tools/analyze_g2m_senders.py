@@ -17,6 +17,14 @@ Two candidate levers, both needing host-side geometry facts first:
    receiver-sorted chunks are spatially local.
 
 Usage: python tools/analyze_g2m_senders.py [resolution] [mesh_size] [chunks]
+           [spatial 0/1]
+
+With spatial=1 the artifact is built with spatial_permutation=True (RCM on
+the finest mesh): receiver-sorted superchunks then follow lat-ish bands, so
+the per-superchunk sender WINDOWS in the lat-major grid should collapse
+from ~13x grid (round-4 finding under refinement order) to ~1x — the
+precondition for the windowed two-stage gather (slice a small window out of
+the big table, gather window-locally at small-operand pricing).
 """
 
 import os
@@ -32,6 +40,7 @@ def main():
   mesh_size = int(sys.argv[2]) if len(sys.argv) > 2 else 6
   chunks_list = ([int(c) for c in sys.argv[3].split(",")]
                  if len(sys.argv) > 3 else [25, 50, 100])
+  spatial = len(sys.argv) > 4 and sys.argv[4] == "1"
 
   from graphcast_tpu.geometry import artifact as artifact_lib
   from graphcast_tpu.geometry import chunking
@@ -39,12 +48,37 @@ def main():
   lat = np.arange(-90.0, 90.0 + resolution / 2, resolution, dtype=np.float32)
   lon = np.arange(0.0, 360.0, resolution, dtype=np.float32)
   art = artifact_lib.build_artifact(
-      grid_lat=lat, grid_lon=lon, mesh_size=mesh_size)
+      grid_lat=lat, grid_lon=lon, mesh_size=mesh_size,
+      spatial_permutation=spatial)
   g2m = art.grid2mesh
   E = len(g2m.senders)
   G = art.num_grid_nodes
   print(f"g2m edges={E} grid={G} mesh={art.num_mesh_nodes} "
-        f"repeat={E / G:.3f}x")
+        f"repeat={E / G:.3f}x spatial_permutation={spatial}")
+
+  # Per-superchunk sender windows on the FUSED padded layout (the layout the
+  # kernel path actually gathers in): span stats decide the windowed
+  # two-stage gather's static window size.
+  from graphcast_tpu.ops.pallas_mp import BlockedSegmentSum
+  summer = BlockedSegmentSum(g2m.receivers, art.num_mesh_nodes,
+                             block_nodes=256, chunk_edges=512,
+                             padded_input=True)
+  layout = summer.pad_edges(g2m.senders.astype(np.int64))
+  valid = summer.pad_edges(np.ones(E, np.int64)) > 0
+  L = layout.shape[0]
+  for es in (32768, 65536):
+    S = -(-L // es)
+    spans = []
+    for s in range(S):
+      sl = layout[s * es:(s + 1) * es]
+      va = valid[s * es:(s + 1) * es]
+      rows = sl[va]
+      if rows.size:
+        spans.append(int(rows.max() - rows.min() + 1))
+    spans = np.array(spans)
+    print(f"  superchunk Es={es}: S={S} window span med={int(np.median(spans))}"
+          f" p90={int(np.percentile(spans, 90))} max={int(spans.max())} "
+          f"sum={int(spans.sum())} ({spans.sum() / G:.2f}x grid)")
 
   ns_big = 17.5      # measured ns/row, 1.06 GB table
   ns_small = 4.5     # measured ns/row, <=42 MB table

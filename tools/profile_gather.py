@@ -101,6 +101,45 @@ def main():
     timeit(name, make_loop(idx, table), table)
   timeit("half_width", make_loop(variants["raw"], table_h), table_h)
 
+  # Small-operand pricing floor: the same ROW COUNT gathered from a 32k-row
+  # (33 MB) table. If this is ~4-5 ns/row while `raw` is ~17, the gather
+  # cost is operand-size-driven (round-4 scaling law) and the windowed
+  # two-stage design below is the fix.
+  W = 32768
+  table_s = table[:W]
+  idx_small = jax.device_put(
+      (np.asarray(senders, np.int64) % W).astype(np.int32))
+  timeit(f"small_{W}", make_loop(idx_small, table_s), table_s)
+
+  # Slice-then-gather: per 65536-edge superchunk, dynamic-slice a W-row
+  # window out of the BIG table (contiguous copy) and gather window-locally.
+  # Tests whether the small-operand pricing survives when the small table is
+  # a fresh slice of the big one inside a lax.map — the shape of the
+  # mesh-spatially-ordered g2m encoder gather (each chunk's senders live in
+  # a narrow lat-band window once mesh nodes are sorted spatially).
+  Es = 65536
+  S = L // Es
+  stride = max(1, (G - W) // max(S - 1, 1))
+  offs = jnp.asarray(np.clip(np.arange(S) * stride, 0, G - W), jnp.int32)
+  rs2 = np.random.RandomState(1)
+  lidx = jnp.asarray(rs2.randint(0, W, size=(S, Es)).astype(np.int32))
+
+  def make_sliced(tab_unused):
+    @jax.jit
+    def loop(tab, i):
+      def body(_, t):
+        def one(args):
+          off, li = args
+          win = jax.lax.dynamic_slice_in_dim(t, off, W)
+          return win[li]
+        gs = jax.lax.map(one, (offs, lidx))          # [S, Es, C]
+        return t + bf(1e-7) * gs.reshape(-1, C)[:t.shape[0]]
+      t = jax.lax.fori_loop(0, ITERS, body, tab + bf(1e-6) * bf(i))
+      return jnp.mean(t.astype(jnp.float32))
+    return loop
+
+  timeit(f"sliced_w{W}", make_sliced(table), table)
+
 
 if __name__ == "__main__":
   main()
