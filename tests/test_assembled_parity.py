@@ -76,23 +76,21 @@ def ref_models():
     pb.LossAndDiagnostics = object
     sys.modules["graphcast.predictor_base"] = pb
     _pkg.predictor_base = pb
-    for name in ("losses", "xarray_jax"):
-      # Used only by loss()/the xarray packing helpers, neither of which the
-      # internal chain calls. Stubbing xarray_jax also avoids registering
-      # fake-xarray classes as global pytree nodes (which would leak into
-      # unrelated tests).
-      m = types.ModuleType(f"graphcast.{name}")
-      sys.modules[f"graphcast.{name}"] = m
-      setattr(_pkg, name, m)
+  # Functional xarray_jax shim backed by fake xarray (round 5): the wrapper-
+  # stack parity tests run the reference's OWN normalization / casting /
+  # autoregressive / losses / sampler code, which need working unwrap /
+  # DataArray plus pytree-registered fake-xarray containers.
+  fake_xarray.install_reference_xarray_jax()
 
   import haiku as hk
   from graphcast import denoiser as ref_denoiser
   from graphcast import graphcast as ref_graphcast
+  from graphcast import losses as ref_losses
   from graphcast import model_utils as ref_model_utils
   from graphcast import typed_graph as ref_tg
   return types.SimpleNamespace(
       hk=hk, gc=ref_graphcast, dn=ref_denoiser, mu=ref_model_utils,
-      tg=ref_tg)
+      tg=ref_tg, losses=ref_losses)
 
 
 def _vertex_perm(our_vertices, ref_vertices):
@@ -135,6 +133,43 @@ def _ref_bipartite_graph(r, name, senders_latlon, receivers_latlon,
       context=r.tg.Context(n_graph=np.array([1]), features=()),
       nodes={send_name: send_set, recv_name: recv_set},
       edges={r.tg.EdgeSetKey(name, (send_name, recv_name)): edge_set})
+
+
+def build_ref_graphcast(r, art, grid_lat, grid_lon, ref_mc, ref_tc):
+  """Constructs the reference GraphCast and initializes its graph
+  structures exactly as _maybe_init (graphcast.py:427-439) except the two
+  trimesh-backed edge queries, injected in reference vertex numbering.
+  Shared by the assembled-forward and wrapper-stack parity suites."""
+  model = r.gc.GraphCast(ref_mc, ref_tc)
+  model._init_mesh_properties()
+  model._init_grid_properties(grid_lat=grid_lat, grid_lon=grid_lon)
+  # The mesh (processor) graph is fully self-contained upstream code.
+  model._mesh_graph_structure = model._init_mesh_graph()
+  perm = _vertex_perm(art.mesh_vertices,
+                      model._finest_mesh.vertices)
+  model._grid2mesh_graph_structure = _ref_bipartite_graph(
+      r, "grid2mesh",
+      (model._grid_nodes_lat, model._grid_nodes_lon),
+      (model._mesh_nodes_lat, model._mesh_nodes_lon),
+      senders=art.grid2mesh.senders,
+      receivers=perm[art.grid2mesh.receivers],
+      n_send=model._num_grid_nodes, n_recv=model._num_mesh_nodes,
+      send_name="grid_nodes", recv_name="mesh_nodes",
+      edge_normalization_factor=None,
+      spatial_features_kwargs=model._spatial_features_kwargs)
+  model._mesh2grid_graph_structure = _ref_bipartite_graph(
+      r, "mesh2grid",
+      (model._mesh_nodes_lat, model._mesh_nodes_lon),
+      (model._grid_nodes_lat, model._grid_nodes_lon),
+      senders=perm[art.mesh2grid.senders],
+      receivers=art.mesh2grid.receivers,
+      n_send=model._num_mesh_nodes, n_recv=model._num_grid_nodes,
+      send_name="mesh_nodes", recv_name="grid_nodes",
+      edge_normalization_factor=(
+          model._mesh2grid_edge_normalization_factor),
+      spatial_features_kwargs=model._spatial_features_kwargs)
+  model._initialized = True
+  return model
 
 
 # ---------------------------------------------------------------------------
@@ -194,39 +229,7 @@ def test_graphcast_assembled_forward_matches_reference():
       input_duration=TINY_TASK.input_duration)
 
   def make_ref_model():
-    """Constructs the reference GraphCast and initializes its graph
-    structures exactly as _maybe_init (graphcast.py:427-439) except the two
-    trimesh-backed edge queries, injected in reference vertex numbering."""
-    model = r.gc.GraphCast(ref_mc, ref_tc)
-    model._init_mesh_properties()
-    model._init_grid_properties(grid_lat=grid_lat, grid_lon=grid_lon)
-    # The mesh (processor) graph is fully self-contained upstream code.
-    model._mesh_graph_structure = model._init_mesh_graph()
-    perm = _vertex_perm(art.mesh_vertices,
-                        model._finest_mesh.vertices)
-    model._grid2mesh_graph_structure = _ref_bipartite_graph(
-        r, "grid2mesh",
-        (model._grid_nodes_lat, model._grid_nodes_lon),
-        (model._mesh_nodes_lat, model._mesh_nodes_lon),
-        senders=art.grid2mesh.senders,
-        receivers=perm[art.grid2mesh.receivers],
-        n_send=model._num_grid_nodes, n_recv=model._num_mesh_nodes,
-        send_name="grid_nodes", recv_name="mesh_nodes",
-        edge_normalization_factor=None,
-        spatial_features_kwargs=model._spatial_features_kwargs)
-    model._mesh2grid_graph_structure = _ref_bipartite_graph(
-        r, "mesh2grid",
-        (model._mesh_nodes_lat, model._mesh_nodes_lon),
-        (model._grid_nodes_lat, model._grid_nodes_lon),
-        senders=perm[art.mesh2grid.senders],
-        receivers=art.mesh2grid.receivers,
-        n_send=model._num_mesh_nodes, n_recv=model._num_grid_nodes,
-        send_name="mesh_nodes", recv_name="grid_nodes",
-        edge_normalization_factor=(
-            model._mesh2grid_edge_normalization_factor),
-        spatial_features_kwargs=model._spatial_features_kwargs)
-    model._initialized = True
-    return model
+    return build_ref_graphcast(r, art, grid_lat, grid_lon, ref_mc, ref_tc)
 
   def ref_fwd(grid_node_features):
     model = make_ref_model()
