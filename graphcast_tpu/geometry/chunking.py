@@ -103,50 +103,3 @@ def plan_balanced_node_chunks(receivers: np.ndarray, num_nodes: int,
       max_nodes=max_nodes, max_edges=max_edges, node_bounds=node_bounds,
       edge_layout=edge_layout, local_receivers=local_receivers,
       node_gather=node_gather)
-
-
-def plan_sender_groups(plan: NodeChunkPlan, senders: np.ndarray,
-                       num_senders: int, group: int = 8):
-  """Per-chunk unique sender-GROUP tables for a grouped two-stage gather.
-
-  g2m senders arrive in consecutive runs (mean ~7 at 0.25°, lat-major grid
-  order), so gathering whole ``group``-row slabs from the sender table and
-  expanding edge slots from the small per-chunk result needs ~7× fewer
-  big-table row fetches (tools/analyze_g2m_senders.py: unique 8-groups =
-  14.4% of E). The expansion is exact: row ``senders[e]`` is group
-  ``senders[e] // group``, offset ``senders[e] % group``.
-
-  Returns (group_index [k, max_g] int32 padded with 0,
-           local_index [k, max_edges] int32 into the chunk's expanded
-           [max_g * group] compact rows,
-           padded_senders): the sender table must be zero-padded to
-           ``-(-num_senders // group) * group`` rows before grouping.
-  """
-  senders_pad = plan.pad_edge_array(np.asarray(senders, np.int64), fill=0)
-  senders_pad = senders_pad.reshape(plan.num_chunks, plan.max_edges)
-  group_index, locals_ = group_senders_2d(senders_pad, group)
-  padded_senders = -(-num_senders // group) * group
-  return group_index, locals_, padded_senders
-
-
-def group_senders_2d(senders_2d: np.ndarray, group: int = 8):
-  """Per-row unique sender groups + local expansion indices (numpy).
-
-  senders_2d: [S, Es] int row ids (padding slots should be 0).
-  Returns (group_index [S, max_g] int32 0-padded,
-           local_index [S, Es] int32 into the row's expanded
-           [max_g * group] compact rows).
-  """
-  senders_2d = np.asarray(senders_2d, np.int64)
-  S, _ = senders_2d.shape
-  g_lists = []
-  local = np.zeros_like(senders_2d, dtype=np.int32)
-  for c in range(S):
-    uniq, inv = np.unique(senders_2d[c] // group, return_inverse=True)
-    g_lists.append(uniq.astype(np.int32))
-    local[c] = (inv * group + senders_2d[c] % group).astype(np.int32)
-  max_g = max(len(u) for u in g_lists)
-  group_index = np.zeros((S, max_g), np.int32)
-  for c, u in enumerate(g_lists):
-    group_index[c, :len(u)] = u
-  return group_index, local

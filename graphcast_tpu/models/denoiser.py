@@ -139,6 +139,7 @@ class DenoiserArchitecture:
     self._g2m_plan = None
     self._g2m_summer = None
     self._g2m_fused = None
+    self._g2m_window_plan = None
     self._m2g_decoder = None
 
     latent = cfg.latent_size
@@ -216,9 +217,24 @@ class DenoiserArchitecture:
         self._g2m_fused = FusedEdgeStep(
             self._g2m_summer, include_edge_matmul=True, write_edges=False)
         self._grid2mesh_gnn.edge_aggregators = {"grid2mesh": self._g2m_summer}
+        self._g2m_window_plan = None
+        from graphcast_tpu.env_flags import env_flag
+        if env_flag("GC_G2M_WINDOWED", default=True):
+          # The denoiser's mesh ids are already spatially coherent (banded
+          # patches), so the windowed two-stage sender gather applies with
+          # no extra node permutation; plan_windowed_gather returns None
+          # (→ flat gather) if the layout's windows are too wide to win.
+          from graphcast_tpu.ops.window_gather import plan_windowed_gather
+          s = self._g2m_summer
+          se = max(512, -(-s.layout_length // 32 // 512) * 512)
+          self._g2m_window_plan = plan_windowed_gather(
+              s.pad_edges(self._artifact.grid2mesh.senders),
+              s.layout_index < s.num_edges,
+              self._artifact.num_grid_nodes, superchunk_edges=se)
       except ValueError:
         self._g2m_summer = None
         self._g2m_fused = None
+        self._g2m_window_plan = None
         self._grid2mesh_gnn.edge_aggregators = None
       self._m2g_decoder = FusedMesh2GridDecoder(
           self._artifact.mesh2grid.senders, self._artifact.num_grid_nodes,
@@ -247,13 +263,10 @@ class DenoiserArchitecture:
       # models/graphcast.py:_host_statics.
       statics["g2m_agg_mask"], statics["g2m_agg_mask_t"] = (
           s.onehot_masks())
-      from graphcast_tpu.env_flags import env_flag
-      if env_flag("GC_G2M_GROUPED"):
-        # Grouped two-stage sender gather — see models/graphcast.py.
-        from graphcast_tpu.ops.gather import layout_sender_groups
-        gidx, lidx = layout_sender_groups(statics["g2m_senders"])
-        statics["g2m_sender_groups"] = gidx
-        statics["g2m_local_senders"] = lidx
+      if self._g2m_window_plan is not None:
+        # Windowed two-stage sender gather — see models/graphcast.py.
+        for k, v in self._g2m_window_plan.statics().items():
+          statics[f"g2m_win_{k}"] = v
     elif self._g2m_plan is not None:
       plan = self._g2m_plan
       statics["g2m_senders"] = plan.pad_edge_array(statics["g2m_senders"])
@@ -582,14 +595,13 @@ class DenoiserArchitecture:
     pee = p["encoder_edges_grid2mesh"]["mlp"]
 
     from graphcast_tpu.models.graphcast import _agg_masks
-    if statics.get("g2m_sender_groups") is not None:
-      # Grouped two-stage gather — see models/graphcast.py and
-      # ops/gather.py (exact: same rows either way).
-      from graphcast_tpu.ops.gather import gather_rows_grouped
-      L = statics["g2m_senders"].shape[0]
-      gs = gather_rows_grouped(
-          grid_emb[:, 0] @ ws, statics["g2m_sender_groups"],
-          statics["g2m_local_senders"])[:L]
+    if (self._g2m_window_plan is not None
+        and statics.get("g2m_win_base") is not None):
+      # Windowed two-stage gather — see models/graphcast.py and
+      # ops/window_gather.py (exact: same rows either way).
+      gs = self._g2m_window_plan(
+          grid_emb[:, 0] @ ws, statics["g2m_win_base"],
+          statics["g2m_win_local"])
     else:
       gs = (grid_emb[:, 0] @ ws)[statics["g2m_senders"]]
     gr_pad = self._g2m_fused.pad_nodes(mesh_emb[:, 0] @ wr)

@@ -21,6 +21,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from graphcast_tpu import losses
 from graphcast_tpu.fields import FieldSet, from_stacked, to_stacked
@@ -174,6 +175,7 @@ class GraphCast(Predictor):
     fused_full = fused and fused != "processor"
     self._g2m_summer = None
     self._g2m_fused = None
+    self._g2m_window_plan = None
     if (fused_full and self._mc.hidden_layers == 1
         and self._grid2mesh_gnn.activation == "swish"):
       # Aggregation-only fused edge step for the grid2mesh encoder (batch-1
@@ -184,11 +186,35 @@ class GraphCast(Predictor):
       from graphcast_tpu.ops.pallas_edge import FusedEdgeStep
       from graphcast_tpu.ops.pallas_mp import BlockedSegmentSum
       try:
+        # Latitude-banded node positions for the g2m layout: refinement-
+        # order mesh ids scatter each receiver block's senders across ~0.8×
+        # of the lat-major grid table (round-5 analyze_g2m_senders), which
+        # forces the flat 17.3 ns/row big-table gather. Banded positions
+        # confine each superchunk's senders to a narrow window so the
+        # two-stage windowed gather applies (ops/window_gather.py). The
+        # permutation is internal to the summer: outputs come back in
+        # original mesh-id order.
+        g2m_order = None
+        from graphcast_tpu.env_flags import env_flag
+        if env_flag("GC_G2M_WINDOWED", default=True):
+          art = self._artifact
+          g2m_order = np.lexsort(
+              (art.mesh_nodes_lon, -art.mesh_nodes_lat)).astype(np.int32)
         self._g2m_summer = BlockedSegmentSum(
             self._artifact.grid2mesh.receivers, self._artifact.num_mesh_nodes,
-            block_nodes=256, chunk_edges=512, padded_input=True)
+            block_nodes=256, chunk_edges=512, padded_input=True,
+            node_order=g2m_order)
         self._g2m_fused = FusedEdgeStep(
             self._g2m_summer, include_edge_matmul=False, write_edges=False)
+        self._g2m_window_plan = None
+        if g2m_order is not None:
+          from graphcast_tpu.ops.window_gather import plan_windowed_gather
+          s = self._g2m_summer
+          se = max(512, -(-s.layout_length // 32 // 512) * 512)
+          self._g2m_window_plan = plan_windowed_gather(
+              s.pad_edges(self._artifact.grid2mesh.senders),
+              s.layout_index < s.num_edges,
+              self._artifact.num_grid_nodes, superchunk_edges=se)
         # Batch > 1 falls back to the general GNN path, whose aggregation
         # runs through the same kernel layout.
         self._grid2mesh_gnn.edge_aggregators = {"grid2mesh": self._g2m_summer}
@@ -197,6 +223,7 @@ class GraphCast(Predictor):
         # grids) — keep the chunked/general paths.
         self._g2m_summer = None
         self._g2m_fused = None
+        self._g2m_window_plan = None
         self._grid2mesh_gnn.edge_aggregators = None
     self._m2g_decoder = None
     if (fused_full and self._mc.hidden_layers == 1
@@ -251,15 +278,17 @@ class GraphCast(Predictor):
       statics["g2m_receivers"] = s.padded_receivers
       statics["g2m_edge_features"] = s.pad_edges(
           statics["g2m_edge_features"])
-      from graphcast_tpu.env_flags import env_flag
-      if env_flag("GC_G2M_GROUPED"):
-        # Grouped two-stage sender gather (ops/gather.py): senders run
-        # consecutively (lat-major grid), so whole 8-row groups cover the
-        # gathered rows with ~7× fewer big-table fetches.
-        from graphcast_tpu.ops.gather import layout_sender_groups
-        gidx, lidx = layout_sender_groups(statics["g2m_senders"])
-        statics["g2m_sender_groups"] = gidx
-        statics["g2m_local_senders"] = lidx
+      if self._g2m_window_plan is not None:
+        # Windowed two-stage sender gather (ops/window_gather.py): the
+        # banded layout confines each superchunk's senders to a narrow
+        # grid window — slice it, gather window-locally at small-table
+        # pricing (~8.6 vs 17.3 ns/row, round-5 probe). The round-4
+        # grouped-gather alternative (8-row group fetches) was A/B'd
+        # clean in round 5 — north star 9.378 vs 8.672 s — and removed:
+        # per-row cost scales with table size, and grouped expansion
+        # fetches ~2× the rows from the BIG table.
+        for k, v in self._g2m_window_plan.statics().items():
+          statics[f"g2m_win_{k}"] = v
     elif self._g2m_plan is not None:
       plan = self._g2m_plan
       statics["g2m_senders"] = plan.pad_edge_array(statics["g2m_senders"])
@@ -663,15 +692,14 @@ class GraphCast(Predictor):
     pe = p["processor_0_edges_grid2mesh"]
     w0 = pe["mlp"]["linear_0"]["w"].astype(dtype)
     ws, wr = w0[latent:2 * latent], w0[2 * latent:]
-    if statics.get("g2m_sender_groups") is not None:
-      # Grouped two-stage gather: ~7× fewer big-table row fetches (the
-      # per-row cost scales with table size; see ops/gather.py). Exact:
-      # same rows, padding slots dropped by the kernel masks either way.
-      from graphcast_tpu.ops.gather import gather_rows_grouped
-      L = statics["g2m_senders"].shape[0]
-      gs = gather_rows_grouped(
-          grid_emb[:, 0] @ ws, statics["g2m_sender_groups"],
-          statics["g2m_local_senders"])[:L]
+    if (self._g2m_window_plan is not None
+        and statics.get("g2m_win_base") is not None):
+      # Windowed two-stage gather: slice each superchunk's narrow sender
+      # window out of the big table, gather window-locally at small-table
+      # pricing (ops/window_gather.py; ~8.6 vs 17.3 ns/row at 0.25°).
+      gs = self._g2m_window_plan(
+          grid_emb[:, 0] @ ws, statics["g2m_win_base"],
+          statics["g2m_win_local"])
     else:
       gs = (grid_emb[:, 0] @ ws)[statics["g2m_senders"]]
     gr_pad = self._g2m_fused.pad_nodes(mesh_emb[:, 0] @ wr)

@@ -580,8 +580,11 @@ class FusedEdgeStep:
 
   def pad_nodes(self, x):
     """[num_nodes, C] → [nb*bn, C] zero-padded (blocks are contiguous node
-    ranges, so row v of the padded array is node v for v < num_nodes)."""
+    ranges, so row v of the padded array is node v for v < num_nodes; with
+    the summer's ``node_order``, row p is node node_order[p])."""
     s = self._summer
+    if s.node_order is not None:
+      x = jnp.take(x, jnp.asarray(s.node_order), axis=0)
     total = s.num_node_blocks * s.block_nodes
     return jnp.pad(x, ((0, total - x.shape[0]), (0, 0)))
 
@@ -621,9 +624,18 @@ class FusedEdgeStep:
       b0 = jnp.zeros((0,)) if b0 is None else b0
     if embed_weights is not None and not self.include_edge_matmul:
       raise ValueError("embed_in_kernel requires include_edge_matmul")
-    return _fused_edge_step(e_pad, gs, gr_pad, we, b0, w1, b1, scale, offset,
-                            masks, embed_weights, _StepHolder(self),
-                            self._interpret)
+    out = _fused_edge_step(e_pad, gs, gr_pad, we, b0, w1, b1, scale, offset,
+                           masks, embed_weights, _StepHolder(self),
+                           self._interpret)
+    if self._summer.node_order is not None:
+      # agg rows are layout positions; map back to node ids (outside the
+      # custom VJP so autodiff threads the permutation).
+      pos = jnp.asarray(self._summer.node_pos)
+      if self.write_edges:
+        eout, agg = out
+        return eout, jnp.take(agg, pos, axis=0)
+      return jnp.take(out, pos, axis=0)
+    return out
 
   # --- implementations ---
 

@@ -85,10 +85,38 @@ class BlockedSegmentSum:
   def __init__(self, receivers: np.ndarray, num_nodes: int,
                block_nodes: int = 256, chunk_edges: int = 512,
                interpret: Optional[bool] = None,
-               padded_input: bool = False):
+               padded_input: bool = False,
+               node_order: Optional[np.ndarray] = None):
+    """``node_order``: optional node permutation [num_nodes] (position p
+    holds node id node_order[p]). The kernel layout is then built over
+    PERMUTED node positions — edges re-sorted by position, node blocks =
+    contiguous position ranges — while the public interface stays in
+    original node ids: ``__call__`` un-permutes its output, ``pad_edges``
+    still takes original-edge-order arrays, and ``padded_receivers``
+    returns original ids. Used to make the grid2mesh layout spatially
+    coherent (latitude-banded mesh positions) so consecutive layout slots
+    gather from a narrow sender window (ops/window_gather.py) — the
+    refinement-order mesh ids scatter each receiver block's senders across
+    ~0.8× of the grid table (round-5 analyze_g2m_senders)."""
     receivers = np.asarray(receivers, np.int32)
-    if receivers.size and (np.diff(receivers) < 0).any():
-      raise ValueError("receivers must be sorted")
+    if node_order is not None:
+      perm = np.asarray(node_order, np.int32)
+      if perm.shape != (num_nodes,):
+        raise ValueError(f"node_order must have shape ({num_nodes},)")
+      pos = np.empty(num_nodes, np.int32)
+      pos[perm] = np.arange(num_nodes, dtype=np.int32)
+      work_recv = pos[receivers]
+      edge_sort = np.argsort(work_recv, kind="stable").astype(np.int64)
+      work_recv = work_recv[edge_sort]
+      self.node_order = perm
+      self.node_pos = pos
+    else:
+      if receivers.size and (np.diff(receivers) < 0).any():
+        raise ValueError("receivers must be sorted")
+      work_recv = receivers
+      edge_sort = None
+      self.node_order = None
+      self.node_pos = None
     self.num_nodes = num_nodes
     self.num_edges = int(receivers.shape[0])
     self.original_receivers = receivers
@@ -97,7 +125,7 @@ class BlockedSegmentSum:
     self.padded_input = padded_input
     self._interpret = interpret
 
-    offsets = row_offsets_from_sorted_receivers(receivers, num_nodes)
+    offsets = row_offsets_from_sorted_receivers(work_recv, num_nodes)
     nb = -(-num_nodes // block_nodes)
     self.num_node_blocks = nb
     bounds = np.minimum(np.arange(nb + 1) * block_nodes, num_nodes)
@@ -120,8 +148,11 @@ class BlockedSegmentSum:
     recv_layout = np.full(L, num_nodes + 1, np.int32)  # never matches
     for i in range(nb):
       dst0 = chunk_base[i] * chunk_edges
-      layout[dst0:dst0 + spans[i]] = np.arange(starts[i], ends[i])
-      recv_layout[dst0:dst0 + spans[i]] = receivers[starts[i]:ends[i]]
+      span_ids = np.arange(starts[i], ends[i])
+      if edge_sort is not None:
+        span_ids = edge_sort[span_ids]
+      layout[dst0:dst0 + spans[i]] = span_ids
+      recv_layout[dst0:dst0 + spans[i]] = work_recv[starts[i]:ends[i]]
     self.total_chunks = max(total_chunks, 1)
     self.layout_index = layout
     self.receivers_layout = recv_layout.reshape(self.total_chunks,
@@ -152,8 +183,20 @@ class BlockedSegmentSum:
 
   @property
   def padded_receivers(self) -> np.ndarray:
-    """[layout_length] receivers in padded layout (padding = num_nodes+1,
-    dropped by both the kernel and jax segment ops)."""
+    """[layout_length] ORIGINAL-id receivers in padded layout (padding =
+    num_nodes+1, dropped by both the kernel and jax segment ops). With
+    ``node_order`` the layout itself is position-ordered, but this array
+    maps slots back to original node ids for graph consumers."""
+    rl = self.receivers_layout.reshape(-1).copy()
+    if self.node_order is not None:
+      valid = rl < self.num_nodes
+      rl[valid] = self.node_order[rl[valid]]
+    return rl
+
+  @property
+  def padded_positions(self) -> np.ndarray:
+    """[layout_length] layout-position receivers (== padded_receivers when
+    no node_order); internal: the VJP's output-grad gather rows."""
     return self.receivers_layout.reshape(-1).copy()
 
   def block_of_chunk(self) -> np.ndarray:
@@ -213,7 +256,12 @@ class BlockedSegmentSum:
       e, b, c = messages.shape
       out = self(messages.reshape(e, b * c), masks)
       return out.reshape(out.shape[0], b, c)
-    return _blocked_segment_sum_impl(messages, masks, _SummerHolder(self))
+    out = _blocked_segment_sum_impl(messages, masks, _SummerHolder(self))
+    if self.node_order is not None:
+      # Kernel output rows are layout positions; map back to node ids
+      # (outside the custom VJP, so autodiff threads the permutation).
+      out = jnp.take(out, jnp.asarray(self.node_pos), axis=0)
+    return out
 
   def _forward(self, messages, masks=None):
     interpret = self._interpret
@@ -300,9 +348,13 @@ def _bss_bwd(holder, _, g):
   if summer.padded_input:
     zero_row = jnp.zeros((1,) + g.shape[1:], g.dtype)
     g_ext = jnp.concatenate([g, zero_row], axis=0)
-    idx = jnp.minimum(jnp.asarray(summer.padded_receivers), summer.num_nodes)
+    # Position-space rows: g is the POSITION-space cotangent here (the
+    # node_order un-permute lives outside the custom VJP).
+    idx = jnp.minimum(jnp.asarray(summer.padded_positions), summer.num_nodes)
     return (g_ext[idx], None)
-  d_messages = g[jnp.asarray(summer.original_receivers)]
+  recv = (summer.original_receivers if summer.node_order is None
+          else summer.node_pos[summer.original_receivers])
+  d_messages = g[jnp.asarray(recv)]
   return (d_messages, None)
 
 

@@ -330,9 +330,9 @@ def test_gencast_sequence_parallel_matches_unsharded():
         err_msg=f"grad mismatch at {jax.tree_util.keystr(path)}")
 
 
-def test_denoiser_grouped_sender_gather_matches(monkeypatch):
-  """GC_G2M_GROUPED=1 (grouped sender gather in the denoiser's fused g2m
-  encode) must be BIT-equal to the direct gather."""
+def test_denoiser_windowed_sender_gather_matches(monkeypatch):
+  """GC_G2M_WINDOWED=1 (windowed sender gather in the denoiser's fused g2m
+  encode, ops/window_gather.py) must be BIT-equal to the flat gather."""
   def build():
     return gencast.GenCast(
         task_config=TINY_TASK,
@@ -349,26 +349,27 @@ def test_denoiser_grouped_sender_gather_matches(monkeypatch):
 
   inputs, targets, forcings = make_batch(batch=1)
   rng = jax.random.PRNGKey(0)
+  monkeypatch.setenv("GC_G2M_WINDOWED", "0")
   plain = build()
   params = plain.init(rng, inputs, targets, forcings)
   s_plain = plain(params, rng, inputs, targets, forcings)
 
-  monkeypatch.setenv("GC_G2M_GROUPED", "1")
-  grouped = build()
+  monkeypatch.setenv("GC_G2M_WINDOWED", "1")
+  windowed = build()
   learned = dict(params)
   learned["architecture"] = {
       k: v for k, v in params["architecture"].items()
       if k != "graph_statics"}
-  params_g = grouped.init(rng, inputs, targets, forcings)
+  params_g = windowed.init(rng, inputs, targets, forcings)
   assert (params_g["architecture"]["graph_statics"]
-          .get("g2m_sender_groups") is not None)
+          .get("g2m_win_base") is not None)
   params_g = {**params_g, "noise_encoder": params["noise_encoder"],
               "architecture": {**learned["architecture"],
                                "graph_statics":
                                    params_g["architecture"]
                                    ["graph_statics"]}}
-  s_grouped = grouped(params_g, rng, inputs, targets, forcings)
+  s_windowed = windowed(params_g, rng, inputs, targets, forcings)
   for n in targets.var_names:
     np.testing.assert_array_equal(
-        np.asarray(s_grouped.data(n)), np.asarray(s_plain.data(n)),
+        np.asarray(s_windowed.data(n)), np.asarray(s_plain.data(n)),
         err_msg=n)

@@ -299,12 +299,14 @@ def test_hoisted_static_edge_latents_match():
         rtol=1e-4, atol=1e-4)
 
 
-def test_grouped_sender_gather_matches(monkeypatch):
-  """GC_G2M_GROUPED=1 (two-stage grouped sender gather in the fused g2m
-  encode, ops/gather.py) must be BIT-equal to the direct row gather."""
+def test_windowed_sender_gather_matches(monkeypatch):
+  """GC_G2M_WINDOWED (banded g2m layout + two-stage windowed sender gather,
+  ops/window_gather.py — the round-5 default) must be BIT-equal to the
+  refinement-order layout with the flat row gather."""
   inputs, targets, forcings = synthetic.make_example_batch(
       TINY_TASK, resolution=30.0, batch=1)
   rng = jax.random.PRNGKey(0)
+  monkeypatch.setenv("GC_G2M_WINDOWED", "0")
   m_plain = GraphCast(TINY_MODEL, TINY_TASK, cache_dir="",
                       fused_aggregation=True)
   params = m_plain.init(rng, inputs, targets, forcings)
@@ -312,32 +314,14 @@ def test_grouped_sender_gather_matches(monkeypatch):
   learned, _ = train.partition_params(params)
   out_plain = m_plain(params, rng, inputs, targets, forcings)
 
-  monkeypatch.setenv("GC_G2M_GROUPED", "1")
-  m_grp = GraphCast(TINY_MODEL, TINY_TASK, cache_dir="",
+  monkeypatch.setenv("GC_G2M_WINDOWED", "1")
+  m_win = GraphCast(TINY_MODEL, TINY_TASK, cache_dir="",
                     fused_aggregation=True)
-  params_grp = m_grp.attach_graph_statics(dict(learned), inputs)
-  assert params_grp["graph_statics"].get("g2m_sender_groups") is not None
-  out_grp = m_grp(params_grp, rng, inputs, targets, forcings)
+  params_win = m_win.attach_graph_statics(dict(learned), inputs)
+  assert m_win._g2m_window_plan is not None
+  assert params_win["graph_statics"].get("g2m_win_base") is not None
+  out_win = m_win(params_win, rng, inputs, targets, forcings)
   for n in targets.var_names:
     np.testing.assert_array_equal(
-        np.asarray(out_grp.data(n)), np.asarray(out_plain.data(n)),
+        np.asarray(out_win.data(n)), np.asarray(out_plain.data(n)),
         err_msg=n)
-
-
-def test_gather_rows_grouped_unit():
-  """ops.gather two-stage grouped gather == direct row gather, including a
-  table whose row count does not divide the group."""
-  from graphcast_tpu.ops import gather as gather_lib
-  rs = np.random.RandomState(0)
-  for n_rows in (64, 61):
-    table = jnp.asarray(rs.randn(n_rows, 16).astype(np.float32))
-    # Sender runs (like g2m): short consecutive runs with jumps.
-    senders = np.concatenate([
-        np.arange(s, min(s + rs.randint(2, 9), n_rows))
-        for s in rs.randint(0, n_rows - 8, 60)])[:200]
-    gidx, lidx = gather_lib.layout_sender_groups(senders, group=8,
-                                                 superchunk_edges=64)
-    got = gather_lib.gather_rows_grouped(table, jnp.asarray(gidx),
-                                         jnp.asarray(lidx), group=8)
-    np.testing.assert_array_equal(np.asarray(got)[:len(senders)],
-                                  np.asarray(table)[senders])

@@ -16,7 +16,12 @@ Env knobs: ROLLOUT_MEMBERS (default 2), ROLLOUT_STEPS (30),
 ROLLOUT_CHUNK (1; GenCast predicts one 12h step per call),
 ROLLOUT_RESOLUTION (1.0; at 0.25 use mesh-6 and fewer steps/members —
 the device-resident trajectory costs ~177 MB per member-step there),
-ROLLOUT_MESH_SIZE (5).
+ROLLOUT_MESH_SIZE (5), ROLLOUT_PULL_TO_HOST (0; set 1 at 0.25° where a
+30-step device-resident trajectory overflows the 16 GB chip — the chunked
+generator then streams each predicted step to host, which through THIS
+rig's axon tunnel costs ~10 MB/s and dominates the wall clock; production
+PCIe is ~1000× faster, so the artifact notes both), ROLLOUT_TIMING_RUNS
+(2; use 1 for the long 0.25° configuration).
 """
 
 import json
@@ -35,6 +40,8 @@ def main():
   chunk = int(os.environ.get("ROLLOUT_CHUNK", "1"))
   resolution = float(os.environ.get("ROLLOUT_RESOLUTION", "1.0"))
   mesh_size = int(os.environ.get("ROLLOUT_MESH_SIZE", "5"))
+  pull_to_host = os.environ.get("ROLLOUT_PULL_TO_HOST", "0") == "1"
+  timing_runs = int(os.environ.get("ROLLOUT_TIMING_RUNS", "2"))
   import jax
   import jax.numpy as jnp
   cache = os.path.join(os.path.expanduser("~"), ".cache", "graphcast_tpu",
@@ -82,18 +89,20 @@ def main():
   def run(seed):
     preds = rollout.chunked_ensemble_prediction(
         predictor_fn, jax.random.PRNGKey(seed), inputs, targets, forcings,
-        num_samples=members, num_steps_per_chunk=chunk, pull_to_host=False)
+        num_samples=members, num_steps_per_chunk=chunk,
+        pull_to_host=pull_to_host)
     # Forced scalar readback: the only thing that actually blocks through
-    # the axon tunnel.
-    return float(jnp.mean(preds.data("temperature")[:, -1].astype(
-        jnp.float32)))
+    # the axon tunnel (with pull_to_host the generator drain already
+    # streamed every step to host, so this is free).
+    return float(jnp.mean(jnp.asarray(
+        preds.data("temperature"))[:, -1].astype(jnp.float32)))
 
   t0 = time.perf_counter()
   v = run(0)
   compile_s = time.perf_counter() - t0
   assert np.isfinite(v), "non-finite rollout output"
   times = []
-  for i in range(2):
+  for i in range(timing_runs):
     t0 = time.perf_counter()
     v = run(i + 1)
     assert np.isfinite(v)
@@ -119,8 +128,14 @@ def main():
         "s_per_member_step": round(per_ms, 3),
         "vs_baseline": round(vs_baseline, 3),
         "compile_s": round(compile_s, 1),
+        "pull_to_host": pull_to_host,
         "note": ("full chunked-ensemble rollout on ONE 16 GB v5e, "
-                 "trajectory device-resident; reference = 3 min for "
+                 + ("trajectory streamed to host per step (this rig's "
+                    "axon tunnel moves device->host at ~10 MB/s, so the "
+                    "wall clock is stream-dominated; see the single-step "
+                    "BENCH_GENCAST artifacts for pure device time); "
+                    if pull_to_host else "trajectory device-resident; ")
+                 + "reference = 3 min for "
                  "4 members x 30 steps on FOUR v5e chips at 1.0deg "
                  "(6 chip-s/member-step) / 8 min per 30-step member on "
                  "EIGHT 32 GB v5p at 0.25deg (128 chip-s/member-step), "
