@@ -210,20 +210,29 @@ class DenoiserArchitecture:
       from graphcast_tpu.ops.pallas_edge import FusedEdgeStep
       from graphcast_tpu.ops.pallas_mp import BlockedSegmentSum
       try:
+        # Latitude-banded g2m layout for the windowed sender gather (see
+        # models/graphcast.py). The node_order is INTERNAL to the summer's
+        # layout, so it composes with the processor's banded-PATCH mesh
+        # ordering (which splash needs for its attention tiles): patch
+        # blobs are spatially coherent but their z-then-lon seed sweep
+        # still spans ~5.2× the grid in sender windows at 0.25°, while
+        # lat-banded positions give ~1.3× (round-5 host probes).
+        g2m_order = None
+        from graphcast_tpu.env_flags import env_flag
+        if env_flag("GC_G2M_WINDOWED", default=True):
+          art = self._artifact
+          g2m_order = np.lexsort(
+              (art.mesh_nodes_lon, -art.mesh_nodes_lat)).astype(np.int32)
         self._g2m_summer = BlockedSegmentSum(
             self._artifact.grid2mesh.receivers,
             self._artifact.num_mesh_nodes,
-            block_nodes=256, chunk_edges=512, padded_input=True)
+            block_nodes=256, chunk_edges=512, padded_input=True,
+            node_order=g2m_order)
         self._g2m_fused = FusedEdgeStep(
             self._g2m_summer, include_edge_matmul=True, write_edges=False)
         self._grid2mesh_gnn.edge_aggregators = {"grid2mesh": self._g2m_summer}
         self._g2m_window_plan = None
-        from graphcast_tpu.env_flags import env_flag
-        if env_flag("GC_G2M_WINDOWED", default=True):
-          # The denoiser's mesh ids are already spatially coherent (banded
-          # patches), so the windowed two-stage sender gather applies with
-          # no extra node permutation; plan_windowed_gather returns None
-          # (→ flat gather) if the layout's windows are too wide to win.
+        if g2m_order is not None:
           from graphcast_tpu.ops.window_gather import plan_windowed_gather
           s = self._g2m_summer
           se = max(512, -(-s.layout_length // 32 // 512) * 512)

@@ -99,9 +99,18 @@ class WindowedGatherPlan:
 
 
 def _bucket_dp(counts: np.ndarray, widths: np.ndarray,
-               num_buckets: int) -> Tuple[Tuple[int, int, int], ...]:
+               num_buckets: int,
+               extra_bucket_penalty: int = 0
+               ) -> Tuple[Tuple[int, int, int], ...]:
   """Optimal contiguous split of superchunks into ≤ num_buckets ranges,
-  minimizing Σ_range (superchunks in range) × max(width in range)."""
+  minimizing Σ_range (superchunks in range) × max(width in range)
+  + (ranges − 1) × extra_bucket_penalty.
+
+  The penalty models the downstream cost of multiple buckets: each bucket
+  is a separate lax.map whose outputs must be concatenated — one full
+  read+write of the gathered array (≈ layout_length row-equivalents) —
+  so splitting only pays off when the window-width spread is large
+  (e.g. truly polar-dominated layouts)."""
   ns = len(widths)
   num_buckets = max(1, min(num_buckets, ns))
   # cost[i][j] = cost of one bucket covering superchunks [i, j)
@@ -124,7 +133,8 @@ def _bucket_dp(counts: np.ndarray, widths: np.ndarray,
         if c < best[b][j]:
           best[b][j] = c
           prev[b][j] = i
-  b = min(range(1, num_buckets + 1), key=lambda bb: best[bb][ns])
+  b = min(range(1, num_buckets + 1),
+          key=lambda bb: best[bb][ns] + (bb - 1) * extra_bucket_penalty)
   cuts = []
   j = ns
   while b > 0:
@@ -192,7 +202,8 @@ def plan_windowed_gather(
   widths = np.minimum([_round_up(int(sp) + 8, width_align) for sp in spans],
                       num_rows).astype(np.int64)
 
-  buckets = _bucket_dp(np.ones(ns, np.int64), widths, num_buckets)
+  buckets = _bucket_dp(np.ones(ns, np.int64), widths, num_buckets,
+                       extra_bucket_penalty=ns * se)
   total = sum((s1 - s0) * w for s0, s1, w in buckets)
   if max_expansion is not None and total > max_expansion * num_rows:
     return None
