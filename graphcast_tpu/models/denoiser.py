@@ -219,7 +219,9 @@ class DenoiserArchitecture:
         # lat-banded positions give ~1.3× (round-5 host probes).
         g2m_order = None
         from graphcast_tpu.env_flags import env_flag
-        if env_flag("GC_G2M_WINDOWED", default=True):
+        from graphcast_tpu.ops.window_gather import MIN_TABLE_ROWS
+        if (env_flag("GC_G2M_WINDOWED", default=True)
+            and self._artifact.num_grid_nodes >= MIN_TABLE_ROWS):
           art = self._artifact
           g2m_order = np.lexsort(
               (art.mesh_nodes_lon, -art.mesh_nodes_lat)).astype(np.int32)

@@ -41,6 +41,14 @@ def _round_up(x: int, m: int) -> int:
   return -(-x // m) * m
 
 
+# Below this table size the flat gather is already near the small-table
+# floor (~4.5 ns/row at 42 MB, round-4 amortized probes) and the two-stage
+# slice+concat overhead loses: GenCast 1.0° (65k-row, 67 MB table) measured
+# 1.763 s windowed vs 1.718 s flat on the 12h step. 0.25° grids (1.04M
+# rows) are ~5× over the threshold and win ~8 ms/step.
+MIN_TABLE_ROWS = 200_000
+
+
 @dataclasses.dataclass(frozen=True)
 class WindowedGatherPlan:
   """Host-side plan for a windowed two-stage gather over a fixed layout.

@@ -349,6 +349,8 @@ def test_denoiser_windowed_sender_gather_matches(monkeypatch):
 
   inputs, targets, forcings = make_batch(batch=1)
   rng = jax.random.PRNGKey(0)
+  from graphcast_tpu.ops import window_gather
+  monkeypatch.setattr(window_gather, "MIN_TABLE_ROWS", 0)
   monkeypatch.setenv("GC_G2M_WINDOWED", "0")
   plain = build()
   params = plain.init(rng, inputs, targets, forcings)

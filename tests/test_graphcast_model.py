@@ -306,6 +306,8 @@ def test_windowed_sender_gather_matches(monkeypatch):
   inputs, targets, forcings = synthetic.make_example_batch(
       TINY_TASK, resolution=30.0, batch=1)
   rng = jax.random.PRNGKey(0)
+  from graphcast_tpu.ops import window_gather
+  monkeypatch.setattr(window_gather, "MIN_TABLE_ROWS", 0)
   monkeypatch.setenv("GC_G2M_WINDOWED", "0")
   m_plain = GraphCast(TINY_MODEL, TINY_TASK, cache_dir="",
                       fused_aggregation=True)

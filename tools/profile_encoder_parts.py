@@ -119,6 +119,35 @@ def main():
           f"all {[round(t*1e3,1) for t in times]})")
 
   timeit("g2m_gather", gather_loop, grid_proj)
+
+  # Windowed two-stage gather (round 5): lat-banded node order + window
+  # plan, built exactly as the models build it (models/graphcast.py).
+  from graphcast_tpu.ops.window_gather import plan_windowed_gather
+  order = np.lexsort(
+      (art.mesh_nodes_lon, -art.mesh_nodes_lat)).astype(np.int32)
+  wsummer = BlockedSegmentSum(art.grid2mesh.receivers, M, block_nodes=bn,
+                              chunk_edges=cs, padded_input=True,
+                              node_order=order)
+  se = max(512, -(-wsummer.layout_length // 32 // 512) * 512)
+  plan = plan_windowed_gather(
+      wsummer.pad_edges(art.grid2mesh.senders),
+      wsummer.layout_index < wsummer.num_edges, G, superchunk_edges=se)
+  if plan is not None:
+    print(f"# windowed: ns={plan.num_superchunks} se={plan.superchunk_edges} "
+          f"buckets={plan.buckets} traffic={plan.window_rows_total/G:.2f}xG")
+    wbase = jax.device_put(jnp.asarray(plan.base))
+    wlocal = jax.device_put(jnp.asarray(plan.local))
+
+    @jax.jit
+    def wgather_loop(gp, base, local, i):
+      def body(_, gp):
+        gs = plan(gp, base, local)
+        return gp + bf(1e-7) * gs[:gp.shape[0]]
+      gp = jax.lax.fori_loop(0, ITERS, body, seeded(i, gp))
+      return jnp.mean(gp.astype(jnp.float32))
+
+    timeit("g2m_gather_windowed", wgather_loop, grid_proj, wbase, wlocal)
+
   timeit("g2m_kernel", kernel_loop, const, gs0, gr_pad, w1, masks)
   timeit("gridside_mlps", gridside_loop, grid_in)
 
