@@ -71,11 +71,16 @@ class GraphCast(Predictor):
     docs/cloud_vm_setup.md:44).
 
     fused_aggregation: None (auto: on TPU), True (all Pallas fast paths),
-    False (XLA paths only), or "processor" — fused kernels for the 16-step
-    mesh processor ONLY, keeping the chunked encode/decode. The training
-    config: the processor's fused forward+backward kernels compose with the
-    √N remat, while the chunked encode/decode remains the path whose remat
-    fits the 0.25° backward in 16 GB."""
+    False (XLA paths only), "processor" — fused kernels for the 16-step
+    mesh processor ONLY, keeping the chunked encode/decode — or "encoder"
+    — fused processor + fused grid2mesh encode with the CHUNKED decoder.
+    "processor" is the 0.25° training config: the processor's fused
+    forward+backward kernels compose with the √N remat, while the chunked
+    encode/decode remains the path whose remat fits the 0.25° backward in
+    16 GB. "encoder" exists for memory probes: the fully-fused decoder's
+    backward stacks ~33 GB of per-block residuals at 0.25° (round-5
+    memdump), so training with the fused encoder requires chunking the
+    decoder."""
     self._mc = model_config
     self._tc = task_config
     self._cache_dir = cache_dir
@@ -228,7 +233,7 @@ class GraphCast(Predictor):
         self._g2m_window_plan = None
         self._grid2mesh_gnn.edge_aggregators = None
     self._m2g_decoder = None
-    if (fused_full and self._mc.hidden_layers == 1
+    if (fused_full and fused != "encoder" and self._mc.hidden_layers == 1
         and self._mesh2grid_gnn.activation == "swish"):
       # Fully-fused mesh2grid decoder (batch-1 inference fast path): edge
       # MLP + LN + 3-edge aggregation + node MLP + residual + output MLP in

@@ -210,8 +210,12 @@ def plan_windowed_gather(
   widths = np.minimum([_round_up(int(sp) + 8, width_align) for sp in spans],
                       num_rows).astype(np.int64)
 
-  buckets = _bucket_dp(np.ones(ns, np.int64), widths, num_buckets,
-                       extra_bucket_penalty=ns * se)
+  # No extra-bucket penalty: the concat-per-bucket overhead the penalty
+  # modeled measures SMALLER than the width savings on TPU — at 0.25° the
+  # 4-bucket plan runs 11.37 ms vs the single-bucket 15.04 (8-bucket 14.41:
+  # past ~4 the lax.map/concat overhead does win; num_buckets=4 default).
+  # tools/probe_window_variants.py, round-5 idle-host run.
+  buckets = _bucket_dp(np.ones(ns, np.int64), widths, num_buckets)
   total = sum((s1 - s0) * w for s0, s1, w in buckets)
   if max_expansion is not None and total > max_expansion * num_rows:
     return None

@@ -257,6 +257,31 @@ def test_fused_edge_step_model_matches_unfused_batch1():
   assert any(float(jnp.abs(x).max()) > 0 for x in leaves)
 
 
+def test_fused_encoder_mode_matches_unfused():
+  """fused_aggregation="encoder" (fused processor + fused g2m encode,
+  CHUNKED decoder — the ar4 memory-probe config) must match the unfused
+  model, with the fused decoder disengaged."""
+  inputs, targets, forcings = synthetic.make_example_batch(
+      TINY_TASK, resolution=30.0, batch=1)
+  rng = jax.random.PRNGKey(0)
+  m_plain = GraphCast(TINY_MODEL, TINY_TASK, cache_dir="",
+                      fused_aggregation=False)
+  m_enc = GraphCast(TINY_MODEL, TINY_TASK, cache_dir="",
+                    fused_aggregation="encoder")
+  params = m_plain.init(rng, inputs, targets, forcings)
+  from graphcast_tpu import train
+  learned, _ = train.partition_params(params)
+  params_enc = m_enc.attach_graph_statics(dict(learned), inputs)
+  assert m_enc._g2m_summer is not None
+  assert m_enc._m2g_decoder is None
+  out_plain = m_plain(params, rng, inputs, targets, forcings)
+  out_enc = m_enc(params_enc, rng, inputs, targets, forcings)
+  for n in targets.var_names:
+    np.testing.assert_allclose(
+        np.asarray(out_enc.data(n)), np.asarray(out_plain.data(n)),
+        rtol=5e-4, atol=5e-4)
+
+
 def test_hoisted_static_edge_latents_match():
   """precompute_step_statics' hoisted encoder/decoder constants must give
   the same predictions as the per-step computation, and the Autoregressive

@@ -87,6 +87,24 @@ def main():
     return _step(params, rng, inputs, targets_template, forcings)
 
   def run(seed):
+    if pull_to_host and members == 1:
+      # Stream chunk-by-chunk in the tool: device-side bf16 cast before
+      # each pull (halves the ~10 MB/s tunnel transfer) and per-chunk
+      # progress prints — the generator's own pull path moves every leaf
+      # at full width with no visibility into which chunk a failure hits.
+      gen = rollout.chunked_prediction_generator(
+          predictor_fn, jax.random.PRNGKey(seed), inputs, targets,
+          forcings, num_steps_per_chunk=chunk, pull_to_host=False)
+      last_t = None
+      for k, ch in enumerate(gen):
+        tc = time.perf_counter()
+        for name in ch.var_names:
+          pulled = np.asarray(ch.data(name).astype(jnp.bfloat16))
+          if name == "temperature":
+            last_t = pulled
+        print(f"  chunk {k}: step+pull {time.perf_counter() - tc:.1f}s",
+              flush=True)
+      return float(np.mean(last_t.astype(np.float32)))
     preds = rollout.chunked_ensemble_prediction(
         predictor_fn, jax.random.PRNGKey(seed), inputs, targets, forcings,
         num_samples=members, num_steps_per_chunk=chunk,

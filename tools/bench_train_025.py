@@ -50,7 +50,8 @@ def main():
   # chunked/XLA paths; 1 = all fused — encoder/decoder now run their own
   # fused backward kernels too (no [3E, C] HBM buffers; the old XLA
   # recompute VJPs needed ~100 GB here).
-  fused_modes = {"0": False, "1": True, "processor": "processor"}
+  fused_modes = {"0": False, "1": True, "processor": "processor",
+                       "encoder": "encoder"}
   fused_env = os.environ.get("TRAIN_FUSED", "processor")
   if fused_env not in fused_modes:
     raise SystemExit(f"TRAIN_FUSED={fused_env!r}: expected one of "

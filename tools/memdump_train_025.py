@@ -13,7 +13,8 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-_TRAIN_FUSED_VALUES = {"0": False, "1": True, "processor": "processor"}
+_TRAIN_FUSED_VALUES = {"0": False, "1": True, "processor": "processor",
+                       "encoder": "encoder"}
 
 
 def _train_fused():

@@ -1,8 +1,11 @@
 """Micro-benchmark: mesh2grid fused-decoder kernel vs its sender gather.
 
 Separates the [3.1M-row] mesh_proj gather from the Pallas kernel proper to
-find which dominates the decode stage. Rig rules: readback-forced timing,
-varied inputs, everything as jit args.
+find which dominates the decode stage (~55 ms/rollout-step at 0.25°).
+Round-5: pieces loop 8x INSIDE one jit (lax.fori_loop, sequential
+dependence) so the ~28 ms tunnel dispatch amortizes — same methodology as
+profile_{mesh,encoder}_parts (rig rule 7). Rig rules: readback-forced
+timing, varied inputs, everything as jit args.
 """
 
 import os
@@ -53,17 +56,29 @@ def main():
   weights = jax.device_put(weights)
   senders_flat = jax.device_put(dec.senders_slot.reshape(-1))
 
+  ITERS = 8
+  bf = jnp.bfloat16
+
   @jax.jit
   def gather_only(mp, i):
-    mp = mp + jnp.bfloat16(1e-6) * jnp.bfloat16(i)
-    gs = mp[senders_flat]
-    return jnp.mean(gs.astype(jnp.float32))
+    def body(_, mp):
+      gs = mp[senders_flat]
+      return mp + bf(1e-7) * gs[:mp.shape[0]]
+    mp = jax.lax.fori_loop(0, ITERS, body, mp + bf(1e-6) * bf(i))
+    return jnp.mean(mp.astype(jnp.float32))
 
   @jax.jit
   def full_call(g, mp, c, w, i):
-    g = g + jnp.bfloat16(1e-6) * jnp.bfloat16(i)
-    out = dec(g[:dec.num_grid], mp, c, w)
-    return jnp.mean(out.astype(jnp.float32))
+    def body(_, carry):
+      g, mp = carry
+      out = dec(g[:dec.num_grid], mp, c, w)
+      mp = mp + bf(1e-7) * jnp.pad(
+          out[:mp.shape[0], :mp.shape[1]].astype(bf),
+          ((0, max(0, mp.shape[0] - out.shape[0])),
+           (0, max(0, mp.shape[1] - out.shape[1]))))
+      return g, mp
+    _, mp = jax.lax.fori_loop(0, ITERS, body, (g + bf(1e-6) * bf(i), mp))
+    return jnp.mean(mp.astype(jnp.float32))
 
   def timeit(name, fn, *args):
     t0 = time.perf_counter()
@@ -75,7 +90,9 @@ def main():
       t0 = time.perf_counter()
       float(fn(*args, i))
       times.append(time.perf_counter() - t0)
-    print(f"{name}: {min(times)*1e3:.1f} ms (compile {compile_s:.1f}s, "
+    per = (min(times) - 0.028) / ITERS
+    print(f"{name}: {per*1e3:.2f} ms/iter (total {min(times)*1e3:.1f} ms "
+          f"- ~28 ms dispatch, compile {compile_s:.1f}s, "
           f"all {[round(t*1e3,1) for t in times]})")
 
   timeit("gather_only", gather_only, mesh_proj)
