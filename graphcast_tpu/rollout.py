@@ -104,6 +104,11 @@ def chunked_prediction_generator(
 
   chunk_template = _strip_time(
       targets_template.isel(time=slice(0, num_steps_per_chunk)))
+  # Commit the one-chunk template to device ONCE: callers keep the full
+  # N-step template host-side (at 0.25° x 30 steps it is ~14 GB — far too
+  # big to device_put whole), and a host-side template would otherwise
+  # re-upload through the jit boundary on every chunk.
+  chunk_template = jax.device_put(chunk_template)
   full_forcings = _strip_time(forcings)
   current_inputs = inputs
 

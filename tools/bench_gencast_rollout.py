@@ -71,10 +71,13 @@ def main():
       rng, inputs, targets.isel(time=slice(0, 1)),
       forcings.isel(time=slice(0, 1)))
   inputs = inputs.astype(jnp.bfloat16)
+  # targets stays HOST-side (numpy bf16): it is only a shape/coord template,
+  # and at 0.25deg x 30 steps a device copy is ~14 GB — the deferred
+  # device_put OOM'd the whole rollout at the first readback. The generator
+  # device_puts the one-chunk template it actually feeds the jit.
   targets = targets.astype(jnp.bfloat16)
   forcings = forcings.astype(jnp.bfloat16)
-  params, inputs, targets, forcings = jax.device_put(
-      (params, inputs, targets, forcings))
+  params, inputs, forcings = jax.device_put((params, inputs, forcings))
 
   @jax.jit
   def _step(p, rng, inputs, targets_template, forcings):

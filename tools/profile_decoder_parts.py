@@ -9,9 +9,12 @@ timing, varied inputs, everything as jit args.
 """
 
 import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
@@ -31,8 +34,10 @@ def main():
       grid_lat=lat, grid_lon=lon, mesh_size=6,
       radius_query_fraction_edge_length=0.6, multimesh=True, cache_dir=None)
   G, M, C = art.num_grid_nodes, art.num_mesh_nodes, 512
-  dec = FusedMesh2GridDecoder(art.mesh2grid.senders, G, 227)
-  print(f"# G={G} M={M} blocks={dec.num_blocks} out_pad={dec.out_pad}")
+  bn = int(sys.argv[1]) if len(sys.argv) > 1 else 256
+  dec = FusedMesh2GridDecoder(art.mesh2grid.senders, G, 227, block_nodes=bn)
+  print(f"# G={G} M={M} blocks={dec.num_blocks} bn={bn} "
+        f"out_pad={dec.out_pad}")
 
   rs = np.random.RandomState(0)
   mesh_proj = jax.device_put(rs.randn(M, C).astype(np.float32)).astype(
